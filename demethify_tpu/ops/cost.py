@@ -1,0 +1,31 @@
+"""Weighted Frobenius cost ``||sqrt(D) * (Y - R @ alpha)||^2``.
+
+Reference: `cost_f_w`, `demethify/deconvolution.py:14-17`. Two forms:
+
+- ``weighted_cost``: direct single pass over (Y, D) — fused by XLA into one
+  matmul + elementwise-reduce, used where Y/D are being read anyway.
+- ``weighted_cost_gram``: the Gram-identity form
+  ``cost_s = y'Dy_s - 2 b_s . a_s + a_s' G_s a_s`` which costs O(p^2 n_s)
+  given precomputed per-sample Grams — zero passes over the big arrays.
+  Used inside solver loops where (G, b, ydy) are already available.
+"""
+
+import jax.numpy as jnp
+
+
+def weighted_cost(y, R, alpha, d) -> jnp.ndarray:
+    """sum(d * (y - R @ alpha)**2), scalar."""
+    resid = y - R @ alpha
+    return jnp.sum(d * resid * resid)
+
+
+def weighted_cost_gram(G, b, ydy, alpha) -> jnp.ndarray:
+    """Gram-identity cost: Sigma_s (ydy_s - 2 b_s.a_s + a_s' G_s a_s).
+
+    G: (n_s, p, p), b: (p, n_s), ydy: (n_s,), alpha: (p, n_s).
+    Exactly equal (in exact arithmetic) to ``weighted_cost`` with the R, d, y
+    used to build the Grams.
+    """
+    quad = jnp.einsum("spq,ps,qs->s", G, alpha, alpha)
+    lin = jnp.sum(b * alpha, axis=0)
+    return jnp.sum(ydy - 2.0 * lin + quad)

@@ -1,0 +1,63 @@
+"""Gram-form precomputations: the TPU-first restructuring of the hot loops.
+
+The reference's inner FISTA loops (`update_u`/`update_alpha`,
+`demethify/deconvolution.py:80-102`) re-read the full (n_cpg x n_s) arrays
+Y and D on *every* inner step — ~40 full passes per outer iteration. On TPU
+the workload is HBM-bandwidth-bound (arithmetic intensity ~p flops/element),
+so we restructure algebraically:
+
+  alpha-gradient:  R' (d_s ⊙ (y_s - R a_s)) = b_s - G_s a_s
+      with  G_s = R' diag(d_s) R   (p x p per sample)
+            b_s = R' (d_s ⊙ y_s)   (p per sample)
+  u-gradient row i:  (d_i ⊙ (y_i - Rt a1 - u_i a2)) a2'
+                   = C_i - M_i u_i
+      with  C = (D ⊙ (Y - Rt a1)) a2'      (n_cpg x n_u)
+            M_i = a2 diag(d_i) a2'          (n_u x n_u per CpG site)
+
+G/b/C/M are computed in ONE pass over the big arrays per outer iteration;
+the inner loops then run on tiny / elementwise tensors. The gradients are
+mathematically identical to the reference's (floating-point reassociation
+aside).
+
+Sharding: with Y/D/R row-sharded on the 'cpg' mesh axis, G/b/ydy are
+cross-shard reductions (XLA inserts psum over ICI); C and M inherit the
+row sharding with no communication.
+"""
+
+import jax.numpy as jnp
+
+
+def sample_grams(R, d, y):
+    """Per-sample Gram system for the alpha subproblem.
+
+    Returns (G, b, ydy):
+      G: (n_s, p, p) = R' diag(d_s) R
+      b: (p, n_s)    = R' (d_s * y_s)
+      ydy: (n_s,)    = sum_i d_is y_is^2
+    One pass over (Y, D, R); all outputs are tiny and replicated.
+    """
+    G = jnp.einsum("ip,is,iq->spq", R, d, R)
+    b = R.T @ (d * y)
+    ydy = jnp.sum(d * y * y, axis=0)
+    return G, b, ydy
+
+
+def site_curvature(d, a2):
+    """Per-site curvature M_i = a2 diag(d_i) a2' for the u subproblem.
+
+    d: (n_cpg, n_s), a2: (n_u, n_s)  ->  M: (n_cpg, n_u, n_u).
+    """
+    return jnp.einsum("us,is,vs->iuv", a2, d, a2)
+
+
+def u_constant_term(y, d, R_trunc, a1, a2):
+    """C = (D ⊙ (Y - R_trunc a1)) a2'  (n_cpg x n_u).
+
+    For the unsupervised case pass R_trunc=None / a1=None and the
+    Y-only form is used (R = U so the 'known block' is empty).
+    """
+    if R_trunc is None:
+        resid = y
+    else:
+        resid = y - R_trunc @ a1
+    return (d * resid) @ a2.T
