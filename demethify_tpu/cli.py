@@ -1,0 +1,292 @@
+"""Command-line interface, flag-compatible with the reference
+(`demethify/demethify.py:24-239`), running the TPU-native solvers.
+
+Reproduced quirks/conventions:
+- `nargs=1` flags arrive as 1-lists (`--nbunknown`, `--restart`, `--seed`,
+  `--termination` default-vs-list) and are unwrapped like the reference
+  (`demethify.py:55-67,99-100`);
+- iteration defaults switch on purity: (100, 500) with, (10000, 20) without
+  (`demethify.py:60-64`);
+- CLI purity p% becomes `1 - p/100` (`demethify.py:77`); the "is it really a
+  percentage?" warning is kept, and the out-of-bounds check is the one the
+  reference *intended* (its `&`-combined check at `demethify.py:73` can
+  never fire);
+- `--ic NAME [n_restarts]` with default 5 restarts (`demethify.py:84-89`);
+- `--confidence LEVEL B` runs before the point estimate (`demethify.py:151`).
+
+Deliberate fixes (documented divergences): the reference re-seeds every
+restart with the same seed (making `--restart` a no-op) and crashes on
+`--seed N` + `--confidence` (list + int TypeError, `bootstrap.py:27`); here
+seeds fold per restart/replicate.
+
+TPU extras: `--dtype {float32,bfloat16,float64}` (default float32) and
+`--platform` to pin the JAX backend.
+"""
+
+import argparse
+import os
+import sys
+from time import time
+
+import numpy as np
+
+LOGO = r"""
+    ____                      __  __    _ ____        __
+   / __ \___  ____ ___  ___  / /_/ /_  (_) __/_  __  / /_____  __  __
+  / / / / _ \/ __ `__ \/ _ \/ __/ __ \/ / /_/ / / / / __/ __ \/ / / /
+ / /_/ /  __/ / / / / /  __/ /_/ / / / / __/ /_/ / / /_/ /_/ / /_/ /
+/_____/\___/_/ /_/ /_/\___/\__/_/ /_/_/_/  \__, /  \__/ .___/\__,_/
+                                          /____/     /_/
+"""
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="demethify-tpu",
+        description="DeMethify-TPU - Partial reference-based Methylation "
+                    "Deconvolution (TPU-native)")
+    parser.add_argument('--methfreq', nargs='+', type=str, required=True,
+                        help='Methylation frequency file path (values '
+                             'between 0 and 1)')
+    parser.add_argument('--ref', nargs='?', type=str,
+                        help='Methylation reference matrix file path')
+    parser.add_argument('--iterations', nargs=2, type=int,
+                        help='Numbers of iterations for outer and inner '
+                             'loops (default without purity = 10000, 20, '
+                             'with purity = 100, 500)')
+    parser.add_argument('--nbunknown', nargs=1, type=int,
+                        help='Number of unknown cell types to estimate')
+    parser.add_argument('--purity', nargs='+', type=float,
+                        help='The purities of the samples in percent '
+                             '[0,100], if known')
+    parser.add_argument('--termination', nargs=1, type=float, default=1e-2,
+                        help='Termination condition for cost function '
+                             '(default = 1e-2)')
+    parser.add_argument('--init', nargs='?', default='uniform_',
+                        help='Initialisation option, the default is '
+                             'uniform_, and the options are: uniform, '
+                             'uniform_, beta, SVD, ICA.')
+    parser.add_argument('--outdir', nargs='?', required=True,
+                        help='Output directory')
+    parser.add_argument('--fillna', action='store_true',
+                        help='Replace every NA by 0 in the given data')
+    parser.add_argument('--ic', nargs='+',
+                        help='Select number of unknown cell types by '
+                             'minimising a criterion (AIC, BIC, CCC, BCV, '
+                             'minka)')
+    parser.add_argument('--confidence', nargs=2, type=int,
+                        help='Outputs bootstrap confidence intervals, takes '
+                             'confidence level and bootstrap iteration '
+                             'numbers as input.')
+    parser.add_argument('--plot', action='store_true',
+                        help='Plot cell type proportions estimates for each '
+                             'sample, eventually with confidence intervals.')
+    parser.add_argument('--restart', nargs=1, type=int,
+                        help='Number of random restarts among which to '
+                             'select the one with the lowest cost')
+    parser.add_argument('--seed', nargs=1, type=int, default=1,
+                        help='Set a seed integer number for random number '
+                             'generation for reproducibility.')
+    parser.add_argument('--noprint', action='store_true',
+                        help="Doesn't show the logo.")
+    parser.add_argument('--bedmethyl', action='store_true',
+                        help='Flag to indicate that the input will be '
+                             'bedmethyl files, modkit style')
+    # TPU-native extras
+    parser.add_argument('--dtype', choices=['float32', 'bfloat16',
+                                            'float64'],
+                        default='float32', help='Compute dtype on device')
+    parser.add_argument('--platform', nargs='?', default=None,
+                        help='Pin the JAX backend (e.g. cpu, tpu)')
+    parser.add_argument('--icmax', nargs=1, type=int, default=[25],
+                        help='Upper end of the --ic sweep range '
+                             '(reference hardcodes 25)')
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+    if args.dtype == 'float64':
+        import jax
+        jax.config.update('jax_enable_x64', True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from demethify_tpu.io.readers import load_dataset
+    from demethify_tpu.io.writers import (
+        write_ci_profile,
+        write_ci_proportions,
+        write_log,
+        write_profile_estimate,
+        write_proportions,
+    )
+    from demethify_tpu.ops.cost import weighted_cost
+    from demethify_tpu.selection.sweep import evaluate_best_ic
+    from demethify_tpu.solvers.api import (
+        partial_reference_deconv,
+        purity_deconv,
+        supervised_deconv,
+        unsupervised_deconv,
+    )
+    from demethify_tpu.uncertainty.bootstrap import bootstrap_ci
+
+    # ------------------------------------------------------------------
+    # argument normalization (reference demethify.py:51-100)
+    # ------------------------------------------------------------------
+    restart = 1 if args.restart is None else args.restart[0]
+
+    if not args.iterations:
+        args.iterations = [100, 500] if args.purity else [10000, 20]
+
+    termination = (args.termination[0] if isinstance(args.termination, list)
+                   else args.termination)
+
+    purity = None
+    if args.purity:
+        purity_arr = np.array(args.purity, dtype=np.float64)
+        if np.any((purity_arr >= 0) & (purity_arr <= 1)):
+            print("Purity is between 0 and 1, are you sure that it's a "
+                  "percentage?")
+        elif np.any((purity_arr < 0) | (purity_arr > 100)):
+            sys.stderr.write("Error: Invalid value for purity, not within "
+                             "[0,100] bounds.")
+            sys.exit(1)
+        purity = 1.0 - (purity_arr / 100.0)
+
+    nb_r = 5
+    ic_name = None
+    if args.ic:
+        if args.nbunknown:
+            sys.stderr.write("Error: --ic cannot be used with "
+                             "--nbunknown.\n")
+            sys.exit(1)
+        if len(args.ic) > 1:
+            nb_r = int(args.ic[1])
+        ic_name = args.ic[0]
+
+    seed = args.seed[0] if isinstance(args.seed, list) else args.seed
+
+    if not args.noprint:
+        print(LOGO)
+
+    outdir = os.path.join(os.getcwd(), args.outdir)
+    if not os.path.exists(outdir):
+        print(f'Creating directory {outdir} to store results')
+        os.makedirs(outdir, exist_ok=True)
+
+    n_u = 0 if args.nbunknown is None else args.nbunknown[0]
+
+    # ------------------------------------------------------------------
+    # data loading (reference demethify.py:102-146)
+    # ------------------------------------------------------------------
+    np_dtype = {'float32': np.float32, 'bfloat16': np.float32,
+                'float64': np.float64}[args.dtype]
+    ds = load_dataset(args.methfreq, ref=args.ref,
+                      bedmethyl=args.bedmethyl, fillna=args.fillna,
+                      dtype=np_dtype)
+    dev_dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else None
+    y = jnp.asarray(ds.meth_f, dtype=dev_dtype)
+    d = jnp.asarray(ds.counts, dtype=dev_dtype)
+    ref_mat = None if ds.ref is None else jnp.asarray(ds.ref,
+                                                      dtype=dev_dtype)
+    header = list(ds.header)
+
+    time_start = time()
+    key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+    # bootstrap CIs first, like the reference (demethify.py:151-152)
+    # ------------------------------------------------------------------
+    ci_props_df = None
+    if args.confidence:
+        level, n_boot = args.confidence
+        lo_p, hi_p, lo_u, hi_u = bootstrap_ci(
+            y, d, ref_mat, n_u, level=level, n_bootstrap=n_boot,
+            init_option=args.init, n_iter1=args.iterations[0],
+            n_iter2=args.iterations[1], tol=termination,
+            purity=purity, key=jax.random.fold_in(key, 987654321))
+        unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
+        ci_props_df = write_ci_proportions(
+            outdir, lo_p, hi_p, header + unknown_header, ds.sample_names)
+        if n_u > 0:
+            write_ci_profile(outdir, lo_u, hi_u, unknown_header)
+
+    # ------------------------------------------------------------------
+    # point estimate (reference demethify.py:154-217)
+    # ------------------------------------------------------------------
+    list_ic = None
+    ic_n_u = None
+    if ic_name:
+        u_best, proportions, ic_n_u, list_ic = evaluate_best_ic(
+            y, d, ref_mat, args.init, ic_name, key=key,
+            iter1=args.iterations[0], iter2=args.iterations[1],
+            tol=termination, n_restarts=nb_r, n_u_max=args.icmax[0])
+        unknown_header = [f"unknown_cell_{i+1}" for i in range(ic_n_u)]
+        header += unknown_header
+        write_profile_estimate(outdir, u_best, unknown_header)
+    elif ref_mat is None:
+        res = unsupervised_deconv(y, d, n_u, init=args.init, key=key,
+                                  n_restarts=restart,
+                                  n_iter1=args.iterations[0],
+                                  n_iter2=args.iterations[1],
+                                  tol=termination)
+        proportions = res.proportions
+        unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
+        header = unknown_header
+        write_profile_estimate(outdir, res.u, unknown_header)
+    elif n_u > 0 and y.shape[1] >= 1:
+        if purity is not None:
+            res = purity_deconv(y, d, ref_mat, n_u, purity,
+                                init=args.init, key=key,
+                                n_restarts=restart,
+                                n_iter1=args.iterations[0],
+                                n_iter2=args.iterations[1],
+                                tol=termination)
+        else:
+            res = partial_reference_deconv(y, d, ref_mat, n_u,
+                                           init=args.init, key=key,
+                                           n_restarts=restart,
+                                           n_iter1=args.iterations[0],
+                                           n_iter2=args.iterations[1],
+                                           tol=termination)
+        proportions = res.proportions
+        unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
+        header += unknown_header
+        write_profile_estimate(outdir, res.u, unknown_header)
+    elif n_u == 0 and y.shape[1] >= 1:
+        res = supervised_deconv(y, d, ref_mat)
+        proportions = res.proportions
+    else:
+        sys.exit(f'Invalid number of unknown value! : "{n_u}" ')
+
+    time_tot = time() - time_start
+
+    # ------------------------------------------------------------------
+    # outputs (reference demethify.py:221-239)
+    # ------------------------------------------------------------------
+    import pandas as pd
+    props_np = np.asarray(proportions, dtype=np.float64)
+    props_df = pd.DataFrame(props_np)
+    props_df.index = header
+    props_df.columns = ds.sample_names
+    props_df.index.name = "Cell types"
+    write_proportions(outdir, props_np, header, ds.sample_names)
+
+    print("All demethified! Results in " + outdir)
+    write_log(outdir, time_tot, ic_name, ic_n_u)
+
+    if args.plot:
+        from demethify_tpu.plotting import plot_proportions
+        ci_df = ci_props_df if ci_props_df is not None else pd.DataFrame()
+        plot_proportions(props_df, ci_df, outdir, list_ic)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

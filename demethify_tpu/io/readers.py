@@ -1,0 +1,92 @@
+"""Host-side input readers: bedmethyl (modkit-style) and CSV.
+
+Column conventions follow the reference exactly
+(`demethify/demethify.py:102-143`):
+
+- bedmethyl (`--bedmethyl`): TSV with header; reference matrix = columns
+  3+ of the ref BED; per-sample `percent_modified / 100` and
+  `valid_coverage` stacked into (n_cpg, n_s) matrices.
+- CSV: values are read raw (already in [0, 1], NO /100); a single-column
+  sample file gets `valid_coverage = 1`.
+- `--fillna` replaces NA with 0 in every input.
+
+Output dtype is configurable (float32 for TPU, float64 for CPU parity
+work). Readers return plain NumPy; the solvers' jit boundary devices them.
+"""
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass
+class Dataset:
+    meth_f: np.ndarray                 # (n_cpg, n_s) methylation fractions
+    counts: np.ndarray                 # (n_cpg, n_s) coverage weights
+    ref: Optional[np.ndarray] = None   # (n_cpg, n_ct) reference profiles
+    header: List[str] = field(default_factory=list)  # cell-type names
+    sample_names: List[str] = field(default_factory=list)
+
+
+def read_reference_bed(path: str, fillna: bool = False,
+                       dtype=np.float64):
+    df = pd.read_csv(path, sep="\t").iloc[:, 3:]
+    if fillna:
+        df = df.fillna(0)
+    return df.values.astype(dtype), list(df.columns)
+
+
+def read_reference_csv(path: str, fillna: bool = False,
+                       dtype=np.float64):
+    df = pd.read_csv(path)
+    if fillna:
+        df = df.fillna(0)
+    return df.values.astype(dtype), list(df.columns)
+
+
+def read_bedmethyl_samples(paths: List[str], fillna: bool = False,
+                           dtype=np.float64):
+    meth, counts = [], []
+    for bed in paths:
+        df = pd.read_csv(bed, sep="\t")
+        if fillna:
+            df = df.fillna(0)
+        meth.append(df["percent_modified"].values / 100.0)
+        counts.append(df["valid_coverage"].values)
+    return (np.column_stack(meth).astype(dtype),
+            np.column_stack(counts).astype(dtype))
+
+
+def read_csv_samples(paths: List[str], fillna: bool = False,
+                     dtype=np.float64):
+    meth, counts = [], []
+    for csv in paths:
+        df = pd.read_csv(csv)
+        if df.shape[1] == 1:
+            df["valid_coverage"] = 1
+        if fillna:
+            df = df.fillna(0)
+        meth.append(df["percent_modified"].values)
+        counts.append(df["valid_coverage"].values)
+    return (np.column_stack(meth).astype(dtype),
+            np.column_stack(counts).astype(dtype))
+
+
+def load_dataset(methfreq: List[str], ref: Optional[str] = None,
+                 bedmethyl: bool = False, fillna: bool = False,
+                 dtype=np.float64) -> Dataset:
+    header: List[str] = []
+    ref_mat = None
+    if bedmethyl:
+        if ref:
+            ref_mat, header = read_reference_bed(ref, fillna, dtype)
+        meth_f, counts = read_bedmethyl_samples(methfreq, fillna, dtype)
+    else:
+        if ref:
+            ref_mat, header = read_reference_csv(ref, fillna, dtype)
+        meth_f, counts = read_csv_samples(methfreq, fillna, dtype)
+    sample_names = [p.split("/")[-1] for p in methfreq]
+    return Dataset(meth_f=meth_f, counts=counts, ref=ref_mat,
+                   header=header, sample_names=sample_names)

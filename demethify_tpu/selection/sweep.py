@@ -1,0 +1,144 @@
+"""Model-selection sweep: pick the number of unknown cell types.
+
+Reference: `evaluate_best_ic` (`demethify/ic.py:169-218`) — sweeps
+n_u = 1..25, computes the chosen criterion (AIC / BIC / CCC / BCV / minka),
+keeps the argmin. Differences from the reference, by design:
+
+- the minka path here actually works (the reference's follow-up call at
+  `ic.py:189` is a TypeError as shipped);
+- CCC restarts run as ONE vmapped batched solve per n_u instead of a serial
+  restart loop;
+- the sweep range is configurable (`n_u_max`, default 25 like the
+  reference's hardcoded `range(1, 26)` at `ic.py:171`).
+
+Each n_u is a different factor shape, hence its own XLA compilation; the
+compile cache makes repeated sweeps cheap.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from demethify_tpu.ops.cost import weighted_cost
+from demethify_tpu.selection.bcv import bicross_validation
+from demethify_tpu.selection.ccc import compute_ccc
+from demethify_tpu.selection.criteria import compute_aic, compute_bic
+from demethify_tpu.selection.minka import select_rank_minka
+
+IC_CHOICES = ("AIC", "BIC", "CCC", "BCV", "minka")
+
+
+def _run_deconv(y, d, ref, n_u, init_option, key, iter1, iter2, tol):
+    """Reference `run_deconvolution` facade (`ic.py:47-55`):
+    returns (u, R, alpha)."""
+    from demethify_tpu.solvers.api import (
+        partial_reference_deconv,
+        unsupervised_deconv,
+    )
+
+    if ref is not None:
+        res = partial_reference_deconv(y, d, ref, n_u, init=init_option,
+                                       key=key, n_iter1=iter1,
+                                       n_iter2=iter2, tol=tol)
+        R = jnp.concatenate([ref, res.u], axis=1)
+    else:
+        res = unsupervised_deconv(y, d, n_u, init=init_option, key=key,
+                                  n_iter1=iter1, n_iter2=iter2, tol=tol)
+        R = res.u
+    return res.u, R, res.proportions
+
+
+def _ccc_restart_alphas(y, d, ref, n_u, init_option, key, n_restarts,
+                        iter1, iter2, tol):
+    """All restart alphas for the consensus, as one vmapped solve."""
+    from demethify_tpu.solvers.init import init_partial, init_unsupervised
+    from demethify_tpu.solvers.partial_ref import partial_ref_solve
+    from demethify_tpu.solvers.unsupervised import unsupervised_solve
+
+    keys = jax.random.split(key, n_restarts)
+    if ref is not None:
+        u0, a0 = jax.vmap(
+            lambda k: init_partial(k, init_option, y, d, ref, n_u))(keys)
+        us, alphas, _ = jax.vmap(
+            lambda u, a: partial_ref_solve(u, a, y, d, ref, n_u,
+                                           n_iter1=iter1, n_iter2=iter2,
+                                           tol=tol))(u0, a0)
+    else:
+        u0, a0 = jax.vmap(
+            lambda k: init_unsupervised(k, init_option, y, d, n_u))(keys)
+        us, alphas, _ = jax.vmap(
+            lambda u, a: unsupervised_solve(u, a, y, d, n_u,
+                                            n_iter1=iter1, n_iter2=iter2,
+                                            tol=tol))(u0, a0)
+    alpha_list = [np.asarray(alphas[i]) for i in range(n_restarts)]
+    # the reference keeps the LAST restart's factors for this n_u (ic.py:196)
+    return alpha_list, us[-1], alphas[-1]
+
+
+def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
+                     key=None, seed: int = 1,
+                     iter1: int, iter2: int, tol: float,
+                     n_restarts: int = 5, n_u_max: int = 25,
+                     progress: bool = False):
+    """Returns (best_u, best_alpha, best_n_u, list_ic)."""
+    if ic not in IC_CHOICES:
+        raise ValueError(f"--ic must be one of {IC_CHOICES}, got {ic!r}")
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+
+    y = jnp.asarray(y)
+    d = jnp.asarray(d)
+    ref = None if ref is None else jnp.asarray(ref)
+    n_cpg, n_samples = y.shape
+    n_ct = 0 if ref is None else ref.shape[1]
+
+    if ic == "minka":
+        best_n_u, minka_result = select_rank_minka(
+            np.asarray(y), np.asarray(d),
+            None if ref is None else np.asarray(ref))
+        u, _, alpha = _run_deconv(y, d, ref, best_n_u, init_option,
+                                  key, iter1, iter2, tol)
+        neg_ll = [-v for v in minka_result["log_liks"].values()]
+        return u, alpha, best_n_u, neg_ll
+
+    n_u_values = range(1, n_u_max + 1)
+    best_ic = float("inf")
+    best_n_u = None
+    best_u = None
+    best_alpha = None
+    list_result = []
+
+    iterator = n_u_values
+    if progress:
+        import tqdm
+        iterator = tqdm.tqdm(n_u_values)
+
+    for n_u in iterator:
+        k_nu = jax.random.fold_in(key, n_u)
+        if ic == "CCC":
+            alpha_runs, u, alpha = _ccc_restart_alphas(
+                y, d, ref, n_u, init_option, k_nu, n_restarts,
+                iter1, iter2, tol)
+            ic_result = -compute_ccc(alpha_runs)
+        elif ic == "BCV":
+            ic_result, u, alpha = bicross_validation(
+                y, d, n_u, ref=ref, init_option=init_option,
+                iter1=iter1, iter2=iter2, tol=tol,
+                n_folds=n_restarts, fraction=0.3, key=k_nu)
+        else:
+            u, R, alpha = _run_deconv(y, d, ref, n_u, init_option, k_nu,
+                                      iter1, iter2, tol)
+            cost = float(weighted_cost(y, R, alpha, d))
+            fn = compute_bic if ic == "BIC" else compute_aic
+            ic_result = fn(cost, n_u, n_cpg, n_ct, n_samples)
+
+        list_result.append(float(ic_result))
+        if ic_result < best_ic:
+            best_ic = ic_result
+            best_n_u = n_u
+            best_u = u
+            best_alpha = alpha
+
+    return best_u, best_alpha, best_n_u, list_result

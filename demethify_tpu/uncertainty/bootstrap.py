@@ -1,0 +1,107 @@
+"""Bootstrap confidence intervals, batched on device.
+
+Reference: `bt_ci` (`demethify/bootstrap.py:10-93`): B row-resamples of
+(Y, D, R) with replacement, a full re-init + re-solve per replicate, then
+percentile CIs over replicates for the proportions (and the unknown
+profiles in non-supervised modes).
+
+TPU-native restructuring: replicates are an embarrassingly parallel batch
+axis. Resampling is a per-replicate `jax.random.randint` gather; init +
+solve are vmapped; replicates run in device-sized chunks (`batch_size`) so
+B=2500 saturates the chip instead of looping serially (the reference's 55 s
+fixture path). Percentiles use NumPy's default linear interpolation, same
+as `np.percentile` in the reference.
+
+Deliberate divergence (documented): when `--purity` is active the reference
+bootstrap scales by p/100 while the main path uses 1 - p/100
+(`bootstrap.py:18` vs `demethify.py:77`) — i.e. it bootstraps a different
+model than the point estimate. Here the bootstrap uses the SAME flipped
+purity as the main path.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _percentiles(arr: np.ndarray, level: float) -> Tuple[np.ndarray,
+                                                         np.ndarray]:
+    a = 1.0 - level / 100.0
+    lower = np.percentile(arr, 100 * (a / 2), axis=0)
+    upper = np.percentile(arr, 100 * (1 - a / 2), axis=0)
+    return lower, upper
+
+
+def bootstrap_ci(y, d, ref, n_u: int, *,
+                 level: float, n_bootstrap: int,
+                 init_option: str = "uniform_",
+                 n_iter1: int = 10000, n_iter2: int = 20,
+                 tol: float = 1e-2,
+                 purity=None,
+                 key=None, seed: int = 1,
+                 batch_size: int = 256):
+    """Returns (lower_props, upper_props, lower_u, upper_u); the u bounds
+    are None in supervised mode (n_u == 0)."""
+    from demethify_tpu.ops.nnls import wls_intercept_batch
+    from demethify_tpu.solvers.init import init_partial, init_purity
+    from demethify_tpu.solvers.partial_ref import partial_ref_solve
+    from demethify_tpu.solvers.purity import purity_solve
+
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+
+    y = jnp.asarray(y)
+    d = jnp.asarray(d)
+    ref = jnp.asarray(ref)
+    if purity is not None:
+        purity = jnp.asarray(purity, y.dtype)
+    n_cpg = y.shape[0]
+    supervised = n_u == 0
+
+    def one_replicate(k):
+        k_idx, k_init = jax.random.split(k)
+        idx = jax.random.randint(k_idx, (n_cpg,), 0, n_cpg)
+        yb = y[idx]
+        db = d[idx]
+        refb = ref[idx]
+        if supervised:
+            props = wls_intercept_batch(db * yb, db, refb)
+            return props, jnp.zeros((n_cpg, 0), y.dtype)
+        if purity is not None:
+            u0, a0 = init_purity(k_init, init_option, yb, db, refb, n_u,
+                                 purity)
+            u, alpha, _ = purity_solve(u0, a0, yb, db, refb, purity, n_u,
+                                       n_iter1=n_iter1, n_iter2=n_iter2,
+                                       tol=tol)
+        else:
+            u0, a0 = init_partial(k_init, init_option, yb, db, refb, n_u)
+            u, alpha, _ = partial_ref_solve(u0, a0, yb, db, refb, n_u,
+                                            n_iter1=n_iter1,
+                                            n_iter2=n_iter2, tol=tol)
+        return alpha, u
+
+    batched = jax.jit(jax.vmap(one_replicate))
+
+    props_chunks = []
+    u_chunks = []
+    done = 0
+    rep = 0
+    while done < n_bootstrap:
+        nb = min(batch_size, n_bootstrap - done)
+        keys = jnp.stack([jax.random.fold_in(key, done + i)
+                          for i in range(nb)])
+        props_b, u_b = batched(keys)
+        props_chunks.append(np.asarray(props_b))
+        u_chunks.append(np.asarray(u_b))
+        done += nb
+        rep += 1
+
+    props_all = np.concatenate(props_chunks, axis=0)   # (B, p, n_s)
+    lo_p, hi_p = _percentiles(props_all, level)
+    if supervised:
+        return lo_p, hi_p, None, None
+    u_all = np.concatenate(u_chunks, axis=0)           # (B, n_cpg, n_u)
+    lo_u, hi_u = _percentiles(u_all, level)
+    return lo_p, hi_p, lo_u, hi_u

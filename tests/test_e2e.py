@@ -1,0 +1,135 @@
+"""End-to-end CLI runs on the reference's simulated fixtures
+(`/root/reference/test/output_gen/`), checked against golden outputs and
+simulated ground truth (accuracy criterion per SURVEY.md §6)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from demethify_tpu.cli import main as cli_main
+
+FIXDIR = "/root/reference/test/output_gen"
+SAMPLES = [os.path.join(FIXDIR, f"sample{i}.bed") for i in range(1, 11)]
+REF = os.path.join(FIXDIR, "ref_matrix.bed")
+GOLden = "/root/reference/test"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(FIXDIR),
+                                reason="reference fixtures not mounted")
+
+
+def _run(outdir, *extra):
+    argv = ["--methfreq", *SAMPLES, "--bedmethyl", "--outdir", str(outdir),
+            "--noprint", "--dtype", "float64", *extra]
+    assert cli_main(argv) == 0
+
+
+def _read_props(path):
+    return pd.read_csv(path, index_col=0)
+
+
+def _sim_truth():
+    sim = pd.read_csv(os.path.join(FIXDIR, "proportions_sim.csv"),
+                      sep="\t", index_col=0)
+    return sim
+
+
+class TestReferenceBased:
+    def test_matches_golden(self, tmp_path):
+        _run(tmp_path, "--ref", REF)
+        got = _read_props(tmp_path / "celltypes_proportions.csv")
+        want = _read_props(os.path.join(GOLden, "output_ref_based",
+                                        "celltypes_proportions.csv"))
+        assert list(got.index) == list(want.index)
+        assert list(got.columns) == list(want.columns)
+        # deterministic WLS path: near-exact parity with sklearn-based golden
+        np.testing.assert_allclose(got.values, want.values, atol=2e-4)
+
+    def test_recovers_simulation(self, tmp_path):
+        _run(tmp_path, "--ref", REF)
+        got = _read_props(tmp_path / "celltypes_proportions.csv")
+        sim = _sim_truth()
+        # known rows renormalized by (1 - unknown portion)
+        known = sim.iloc[:-1].values
+        known = known / known.sum(axis=0, keepdims=True)
+        rmse = np.sqrt(np.mean((got.values - known) ** 2))
+        # the golden reference run scores 0.13356 on this fixture; ours must
+        # be at least as accurate (it matches to ~1e-12)
+        assert rmse <= 0.13356375536834714 + 1e-6
+
+
+class TestPartialRef:
+    def test_fixture_run(self, tmp_path):
+        _run(tmp_path, "--ref", REF, "--nbunknown", "1", "--seed", "3")
+        got = _read_props(tmp_path / "celltypes_proportions.csv")
+        want = _read_props(os.path.join(GOLden, "output_partial_ref",
+                                        "celltypes_proportions.csv"))
+        assert list(got.index) == list(want.index)
+        sim = _sim_truth()
+        # unknown-portion estimate must track the simulated truth like the
+        # reference's golden run does
+        got_unknown = got.values[-1]
+        want_unknown = want.values[-1]
+        sim_unknown = sim.values[-1]
+        golden_rmse = np.sqrt(np.mean((want_unknown - sim_unknown) ** 2))
+        ours_rmse = np.sqrt(np.mean((got_unknown - sim_unknown) ** 2))
+        assert ours_rmse < max(2.0 * golden_rmse, 0.1)
+        # full-matrix parity with the golden run within run-to-run variance
+        rmse_vs_golden = np.sqrt(np.mean((got.values - want.values) ** 2))
+        assert rmse_vs_golden < 0.1
+        # profile estimate written
+        prof = pd.read_csv(tmp_path / "methylation_profile_estimate.csv")
+        assert prof.shape == (350, 1)
+        assert ((prof.values >= 0) & (prof.values <= 1)).all()
+
+
+class TestUnsupervised:
+    def test_fixture_run(self, tmp_path):
+        _run(tmp_path, "--nbunknown", "4")
+        got = _read_props(tmp_path / "celltypes_proportions.csv")
+        assert got.shape == (4, 10)
+        np.testing.assert_allclose(got.values.sum(axis=0), 1.0, atol=1e-6)
+        prof = pd.read_csv(tmp_path / "methylation_profile_estimate.csv")
+        assert prof.shape == (350, 4)
+
+
+class TestPurity:
+    def test_fixture_run(self, tmp_path):
+        # CLI purity p% = tumor (unknown) fraction; after the reference's
+        # flip (demethify.py:77) the FW constraint pins the unknown block's
+        # mass at p/100 exactly
+        unknown = [0.4, 0.2, 0.1, 0.8, 0.5, 0.1, 0.0, 0.7, 0.5, 0.9]
+        purities = [str(100 * u) for u in unknown]
+        _run(tmp_path, "--ref", REF, "--nbunknown", "1",
+             "--purity", *purities, "--iterations", "50", "100")
+        got = _read_props(tmp_path / "celltypes_proportions.csv")
+        np.testing.assert_allclose(got.values[-1], unknown, atol=1e-8)
+
+
+class TestBootstrapCI:
+    def test_ci_outputs(self, tmp_path):
+        _run(tmp_path, "--ref", REF, "--confidence", "95", "24")
+        ci = pd.read_csv(
+            tmp_path / "confidence_interval_celltypes_proportions.csv",
+            index_col=0)
+        assert ci.shape == (5, 10)
+        lo, hi = eval(ci.iloc[0, 0])
+        assert 0 <= lo <= hi <= 1
+
+    def test_ci_partial(self, tmp_path):
+        _run(tmp_path, "--ref", REF, "--nbunknown", "1",
+             "--confidence", "90", "8", "--iterations", "200", "10")
+        ci_prof = pd.read_csv(
+            tmp_path / "confidence_interval_methylation_estimate.csv")
+        assert ci_prof.shape == (350, 1)
+
+
+class TestModelSelection:
+    def test_aic_sweep(self, tmp_path):
+        _run(tmp_path, "--ref", REF, "--ic", "AIC", "--icmax", "3",
+             "--iterations", "300", "10")
+        log = (tmp_path / "log.log").read_text()
+        assert "Number of unknowns that minimises AIC" in log
+        prof = pd.read_csv(tmp_path / "methylation_profile_estimate.csv")
+        assert prof.shape[0] == 350
