@@ -32,7 +32,8 @@ def _rand_beta_u(key, n_cpg, n_u, dtype):
 
 
 def _rand_dirichlet_alpha(key, p, n_s, dtype):
-    return jax.random.dirichlet(key, jnp.ones((p,), dtype), (n_s,)).T
+    return jax.random.dirichlet(key, jnp.ones((p,), dtype),
+                                (n_s,)).T.astype(dtype)
 
 
 def _zero_guard(alpha, n_u):
