@@ -1,0 +1,97 @@
+"""Benchmark: flagship partial-reference solver throughput on one chip.
+
+Workload: 1M CpG sites x 10 samples, 5 known cell types + 1 unknown —
+megabase-scale version of the reference's fixture workload
+(`test/output_partial_ref`, 10000/20 iterations). Fixed 200 outer x 20
+inner iterations (tol=0 so both implementations do identical work).
+
+Baseline: the reference implementation's dataflow (NumPy, same update
+math — the reference's Numba kernels delegate these matmuls to BLAS, so
+NumPy wall-clock is representative of the reference on this machine's CPU),
+timed on a subset of iterations and scaled.
+
+Prints ONE JSON line:
+  metric     = CpG-site-iterations/s/chip in the solver loop
+  value      = n_cpg * n_outer / t_device
+  vs_baseline= CPU-reference-seconds / device-seconds  (same workload)
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_CPG = 1_000_000
+N_S = 10
+N_CT = 5
+N_U = 1
+N_OUTER = 200
+N_INNER = 20
+BASELINE_OUTER = 3  # numpy iterations actually timed, scaled to N_OUTER
+
+
+def make_problem(dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    Rt = rng.uniform(size=(N_CPG, N_CT)).astype(dtype)
+    at = rng.dirichlet(np.ones(N_CT + N_U), size=N_S).T.astype(dtype)
+    ut = rng.uniform(size=(N_CPG, N_U)).astype(dtype)
+    y = np.clip(np.hstack([Rt, ut]) @ at
+                + 0.01 * rng.normal(size=(N_CPG, N_S)), 0, 1).astype(dtype)
+    d = (rng.poisson(50, size=(N_CPG, N_S)) + 1).astype(dtype)
+    u0 = rng.uniform(size=(N_CPG, N_U)).astype(dtype)
+    a0 = rng.dirichlet(np.ones(N_CT + N_U), size=N_S).T.astype(dtype)
+    return y, d, Rt, u0, a0
+
+
+def numpy_reference_seconds(y, d, Rt, u0, a0):
+    """Reference-dataflow BCD (mdwbssmf_deconv semantics), BASELINE_OUTER
+    outer iterations, scaled to N_OUTER."""
+    from tests.oracle import partial_ref_solve as oracle_solve
+
+    R0 = np.hstack([Rt, u0])
+    t = time.time()
+    oracle_solve(u0.copy(), R0, a0.copy(), y, d, Rt, N_U,
+                 BASELINE_OUTER, N_INNER, 0.0)
+    el = time.time() - t
+    return el * (N_OUTER / BASELINE_OUTER)
+
+
+def device_seconds(y, d, Rt, u0, a0):
+    import jax
+    import jax.numpy as jnp
+
+    from demethify_tpu.solvers.partial_ref import partial_ref_solve
+
+    args = [jax.device_put(x) for x in (u0, a0, y, d, Rt)]
+    jax.block_until_ready(args)
+
+    def run():
+        out = partial_ref_solve(*args, N_U, n_iter1=N_OUTER,
+                                n_iter2=N_INNER, tol=0.0)
+        return float(out[2]["cost"])
+
+    run()  # compile + warm
+    times = []
+    for _ in range(3):
+        t = time.time()
+        run()
+        times.append(time.time() - t)
+    return min(times)
+
+
+def main():
+    y, d, Rt, u0, a0 = make_problem()
+    t_cpu = numpy_reference_seconds(y, d, Rt, u0, a0)
+    t_dev = device_seconds(y, d, Rt, u0, a0)
+    sites_per_s = N_CPG * N_OUTER / t_dev
+    print(json.dumps({
+        "metric": "CpG-site-iterations/s/chip (partial-ref solver loop, "
+                  "1M sites x 10 samples, 200x20 iters)",
+        "value": round(sites_per_s, 1),
+        "unit": "site-iters/s",
+        "vs_baseline": round(t_cpu / t_dev, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
