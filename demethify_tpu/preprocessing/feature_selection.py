@@ -1,0 +1,69 @@
+"""CpG panel feature selection: keep the top-n most informative rows.
+
+Reference: `preprocessing/feature_selection.py:7-36` — select rows of a
+reference BED either by row variance or by summed |U| leverage scores from
+the SVD. Here both scores are computed on device (jnp.var / on-device SVD),
+which is what makes genome-scale panels tractable; the BED frame handling
+stays host-side pandas.
+"""
+
+import argparse
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def _scores(values: np.ndarray, n: int, method: str) -> np.ndarray:
+    import jax.numpy as jnp
+
+    x = jnp.asarray(values)
+    if method == "var":
+        return np.asarray(jnp.var(x, axis=1, ddof=1))
+    if method == "svd":
+        U, _, _ = jnp.linalg.svd(x, full_matrices=False)
+        return np.asarray(jnp.sum(jnp.abs(U[:, :n]), axis=1))
+    raise ValueError("Invalid method! Choose 'var' or 'svd'.")
+
+
+def feature_select(bedfile: str, n: int, output_folder: str,
+                   method: str = "svd") -> str:
+    df = pd.read_csv(bedfile, sep="\t")
+    df_cleaned = df.dropna()
+    values = df_cleaned.iloc[:, 3:].values.astype(np.float64)
+
+    scores = _scores(values, n, method)
+    if method == "var":
+        # reference uses pandas nlargest (rows ordered by score)
+        selected = df_cleaned.loc[
+            pd.Series(scores, index=df_cleaned.index).nlargest(n).index]
+    else:
+        selected = df_cleaned.iloc[np.argsort(-scores)[:n]]
+
+    os.makedirs(output_folder, exist_ok=True)
+    output_file = os.path.join(
+        output_folder,
+        os.path.basename(bedfile).replace(".bed", "_select_ref.bed"))
+    selected.to_csv(output_file, sep="\t", header=True, index=False)
+    return output_file
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Select top N rows using variance or SVD from a BED "
+                    "file.")
+    parser.add_argument('--bed', type=str, required=True,
+                        help='Path to the input BED file')
+    parser.add_argument('--n', type=int, required=True,
+                        help='Number of top rows to select')
+    parser.add_argument('--out', nargs='?', type=str, default='.',
+                        help='Path to output folder')
+    parser.add_argument('--method', type=str, choices=["var", "svd"],
+                        default="svd")
+    args = parser.parse_args(argv)
+    feature_select(args.bed, args.n, args.out, args.method)
+    return 0
+
+
+if __name__ == "__main__":
+    main()
