@@ -79,7 +79,16 @@ def device_seconds(y, d, Rt, u0, a0):
     return min(times)
 
 
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/demethify_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
+    _enable_compile_cache()
     y, d, Rt, u0, a0 = make_problem()
     t_cpu = numpy_reference_seconds(y, d, Rt, u0, a0)
     t_dev = device_seconds(y, d, Rt, u0, a0)

@@ -1,0 +1,259 @@
+"""Pallas TPU kernels: fused bandwidth-optimal passes for the solver loops.
+
+Profiling the XLA Gram-form solver shows two traffic sinks per outer
+iteration on megabase inputs:
+  (a) the u inner loop: n_iter2 (=20) HBM round-trips over the
+      (n_cpg x n_u)-sized u/u_prev/C/M arrays, ~1 GB per outer iteration
+      at 1M sites;
+  (b) the C/M and G/b/ydy precompute passes over Y, D, R.
+
+Two kernels eliminate (a) and fuse (b):
+
+- `u_phase`: ONE pass per outer iteration. For each CpG lane-tile it builds
+  C and M in VMEM from (Yt, Dt, Rt) and runs the ENTIRE n_iter2-step FISTA
+  loop on the tile without touching HBM, then writes u/u_prev back. The
+  per-tile FISTA is exact: the U update is row-separable given alpha
+  (SURVEY.md: "no comms in the U step").
+- `grams`: one pass computing the per-sample Grams G = R diag(d_s) R',
+  b = R'(d_s*y_s) and ydy, accumulated across the sequential grid.
+
+Layout: kernels run on TRANSPOSED arrays — (n_s, n_cpg), (p, n_cpg) — so
+the huge CpG axis sits on TPU lanes (128-wide, fully utilized) and the tiny
+sample/celltype axes on sublanes. The pallas solver variant keeps its whole
+while_loop state transposed and transposes once at entry/exit.
+
+All kernels run in interpret mode off-TPU so the same tests cover them on
+the CPU mesh.
+
+MEASURED (TPU v5e, 1M sites x 10 samples, n_u=1): the UNROLLED XLA gram
+path (ops/fista.py `_run_steps`) turns the inner FISTA loop into one fused
+elementwise kernel at 0.23 ms/outer-iter — already at its HBM traffic
+bound — and XLA's einsum grams run 0.22 ms vs 0.9 ms for `grams` here
+(tiny-M matmuls underutilize the MXU in this hand-written schedule). The
+default solvers therefore use the unrolled XLA path; these kernels are kept
+as tested infrastructure (trajectory-identical, see tests/test_pallas.py)
+and as the starting point for further Mosaic-level tuning.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_TILE = 2048
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_lanes(x, tile):
+    n = x.shape[-1]
+    target = ((n + tile - 1) // tile) * tile
+    if target == n:
+        return x, n
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, target - n)]
+    return jnp.pad(x, pad), n
+
+
+# ---------------------------------------------------------------------------
+# u_phase: fused C/M build + full inner FISTA loop, one HBM pass
+# ---------------------------------------------------------------------------
+
+def _u_phase_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref, rtt_ref,
+                    u_ref, up_ref, u_out_ref, up_out_ref, *, n_steps,
+                    n_u, lagged):
+    a0_init = scal_ref[0, 0]
+    l_w = scal_ref[0, 1]
+    l_w_prev0 = scal_ref[0, 2]
+
+    yt = yt_ref[:]
+    dt = dt_ref[:]
+    a2b = a2b_ref[:]                      # (n_u, n_s)
+
+    if rtt_ref is not None:
+        # resid_known = (Y - Rt a1)^T = Yt - a1' Rt_t
+        resid = yt - jax.lax.dot_general(
+            a1b_ref[:], rtt_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=yt.dtype)
+    else:
+        resid = yt
+    c = jax.lax.dot_general(a2b, dt * resid, (((1,), (0,)), ((), ())),
+                            preferred_element_type=yt.dtype)  # (n_u, T)
+
+    # M rows: m[(u,v), :] = sum_s a2[u,s] a2[v,s] d[s,:]
+    w2 = (a2b[:, None, :] * a2b[None, :, :]).reshape(n_u * n_u,
+                                                     a2b.shape[1])
+    m = jax.lax.dot_general(w2, dt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=yt.dtype)
+    m3 = m.reshape(n_u, n_u, m.shape[-1])
+
+    def body(_, carry):
+        u, up, a, l_prev = carry
+        a0 = a
+        a1n = (1.0 + jnp.sqrt(1.0 + 4.0 * a0 * a0)) / 2.0
+        beta = jnp.minimum((a0 - 1.0) / a1n,
+                           0.9999 * jnp.sqrt(l_prev / l_w))
+        u_t = u + beta * (u - up)
+        grad_at = u if lagged else u_t
+        mdotu = jnp.sum(m3 * grad_at[None, :, :], axis=1)   # (n_u, T)
+        u_new = jnp.clip(u_t + (c - mdotu) / l_w, 0.0, 1.0)
+        return (u_new, u, a1n, l_w)
+
+    u, up, _, _ = jax.lax.fori_loop(
+        0, n_steps, body, (u_ref[:], up_ref[:], a0_init, l_w_prev0))
+    u_out_ref[:] = u
+    up_out_ref[:] = up
+
+
+def u_phase(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
+            a, l_w, l_w_prev, n_steps: int, *, lagged: bool = False,
+            tile: int = LANE_TILE):
+    """Run the full U FISTA inner loop in one fused pass.
+
+    Transposed operands: yt/dt (n_s, N), rtt (n_ct, N) or None
+    (unsupervised), a1_block (n_ct, n_s) or None, a2_block (n_u, n_s),
+    ut/u_prev_t (n_u, N). Returns (ut, u_prev_t, a_new, l_w_prev_new).
+    `lagged=True` evaluates the gradient at the previous iterate
+    (reference unsupervised quirk, deconvolution.py:163).
+    """
+    n_u, n_s = a2_block.shape
+    n = yt.shape[-1]
+    yt, _ = _pad_lanes(yt, tile)
+    dt, _ = _pad_lanes(dt, tile)
+    ut, _ = _pad_lanes(ut, tile)
+    u_prev_t, _ = _pad_lanes(u_prev_t, tile)
+    npad = yt.shape[-1]
+    grid = (npad // tile,)
+
+    scal = jnp.reshape(jnp.stack([a.astype(yt.dtype),
+                                  l_w.astype(yt.dtype),
+                                  l_w_prev.astype(yt.dtype)]), (1, 3))
+
+    lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, tile), lambda k: (0, k), memory_space=pltpu.VMEM)
+    full_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda k: (0, 0), memory_space=pltpu.VMEM)
+
+    has_known = rtt is not None
+    if has_known:
+        rtt, _ = _pad_lanes(rtt, tile)
+        n_ct = rtt.shape[0]
+        in_specs = [
+            pl.BlockSpec((1, 3), lambda k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            full_spec((n_ct, n_s)), full_spec((n_u, n_s)),
+            lane_spec(n_s), lane_spec(n_s), lane_spec(n_ct),
+            lane_spec(n_u), lane_spec(n_u),
+        ]
+        args = (scal, a1_block, a2_block, yt, dt, rtt, ut, u_prev_t)
+        kern = functools.partial(_u_phase_kernel, n_steps=n_steps,
+                                 n_u=n_u, lagged=lagged)
+    else:
+        dummy = jnp.zeros((1, 1), yt.dtype)
+        in_specs = [
+            pl.BlockSpec((1, 3), lambda k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            full_spec((1, 1)), full_spec((n_u, n_s)),
+            lane_spec(n_s), lane_spec(n_s),
+            lane_spec(n_u), lane_spec(n_u),
+        ]
+        args = (scal, dummy, a2_block, yt, dt, ut, u_prev_t)
+
+        def kern(scal_ref, _dummy, a2b_ref, yt_ref, dt_ref, u_ref,
+                 up_ref, u_out_ref, up_out_ref):
+            _u_phase_kernel(scal_ref, None, a2b_ref, yt_ref, dt_ref, None,
+                            u_ref, up_ref, u_out_ref, up_out_ref,
+                            n_steps=n_steps, n_u=n_u, lagged=lagged)
+
+    out_spec = [lane_spec(n_u), lane_spec(n_u)]
+    u_new, up_new = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_u, npad), yt.dtype)] * 2,
+        interpret=_interpret(),
+    )(*args)
+
+    # scalar FISTA bookkeeping replayed outside (data-independent)
+    def scal_body(_, carry):
+        a, l_prev = carry
+        a1n = (1.0 + jnp.sqrt(1.0 + 4.0 * a * a)) / 2.0
+        return (a1n, l_w)
+
+    a_new, l_w_prev_new = jax.lax.fori_loop(0, n_steps, scal_body,
+                                            (a, l_w_prev))
+    return u_new[:, :n], up_new[:, :n], a_new, l_w_prev_new
+
+
+# ---------------------------------------------------------------------------
+# grams: fused G/b/ydy reduction, one HBM pass
+# ---------------------------------------------------------------------------
+
+def _gram_kernel(yt_ref, dt_ref, r_ref, g_ref, b_ref, ydy_ref, *, n_s):
+    k = pl.program_id(0)
+    yt = yt_ref[:]
+    dt = dt_ref[:]
+    r = r_ref[:]                      # (p, T)
+    dy = dt * yt                      # (n_s, T)
+
+    b_part = jax.lax.dot_general(r, dy, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=yt.dtype)
+    ydy_part = jnp.sum(dy * yt, axis=1, keepdims=True).T   # (1, n_s)
+
+    g_parts = []
+    for s in range(n_s):
+        rs = r * dt[s][None, :]
+        g_parts.append(jax.lax.dot_general(
+            rs, r, (((1,), (1,)), ((), ())),
+            preferred_element_type=yt.dtype))
+    g_part = jnp.stack(g_parts, axis=0)   # (n_s, p, p)
+
+    @pl.when(k == 0)
+    def _():
+        g_ref[:] = g_part
+        b_ref[:] = b_part
+        ydy_ref[:] = ydy_part
+
+    @pl.when(k > 0)
+    def _():
+        g_ref[:] = g_ref[:] + g_part
+        b_ref[:] = b_ref[:] + b_part
+        ydy_ref[:] = ydy_ref[:] + ydy_part
+
+
+def grams(yt, dt, rt, *, tile: int = LANE_TILE):
+    """One-pass per-sample Gram system from transposed operands.
+
+    yt/dt: (n_s, N), rt: (p, N). Returns (G (n_s,p,p), b (p,n_s),
+    ydy (n_s,)). Matches ops.gram.sample_grams on the untransposed arrays.
+    """
+    n_s = yt.shape[0]
+    p = rt.shape[0]
+    yt, _ = _pad_lanes(yt, tile)
+    dt, _ = _pad_lanes(dt, tile)
+    rt, _ = _pad_lanes(rt, tile)
+    npad = yt.shape[-1]
+    grid = (npad // tile,)
+
+    lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, tile), lambda k: (0, k), memory_space=pltpu.VMEM)
+    acc_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda k: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+
+    G, b, ydy = pl.pallas_call(
+        functools.partial(_gram_kernel, n_s=n_s),
+        grid=grid,
+        in_specs=[lane_spec(n_s), lane_spec(n_s), lane_spec(p)],
+        out_specs=[acc_spec((n_s, p, p)), acc_spec((p, n_s)),
+                   acc_spec((1, n_s))],
+        out_shape=[jax.ShapeDtypeStruct((n_s, p, p), yt.dtype),
+                   jax.ShapeDtypeStruct((p, n_s), yt.dtype),
+                   jax.ShapeDtypeStruct((1, n_s), yt.dtype)],
+        interpret=_interpret(),
+    )(yt, dt, rt)
+    return G, b, ydy[0]

@@ -11,20 +11,49 @@ is safe to replicate across shards.
 
 import jax.numpy as jnp
 
+# Columns here are tiny (p = n_celltypes + n_unknown, ~6-30) but the op sits
+# inside latency-critical inner loops, and XLA's TPU `sort` lowering costs
+# ~1 ms per call regardless of size. So the descending sort is computed via
+# a stable rank matrix + permutation matmul, the cumsum via a triangular
+# matmul, and the threshold gather via a one-hot contraction — pure
+# VPU/MXU ops that fuse into one kernel. Tie order cannot affect the
+# result (only sorted VALUES enter the threshold), so this is exactly the
+# reference's projection.
+_SORT_FALLBACK_P = 128
+
+
+def _sorted_desc_small(v: jnp.ndarray) -> jnp.ndarray:
+    """Descending-sorted columns of v (p, n) without a sort primitive."""
+    p = v.shape[0]
+    gt = (v[:, None, :] > v[None, :, :]).astype(v.dtype)     # (p, p, n)
+    eq = (v[:, None, :] == v[None, :, :]).astype(v.dtype)
+    lower = jnp.tril(jnp.ones((p, p), v.dtype), k=-1)
+    # stable descending rank of element i within its column
+    rank = (jnp.sum(gt, axis=0)
+            + jnp.einsum("ij,ijn->jn", lower, eq))           # (p, n)
+    perm = (rank[None, :, :] ==
+            jnp.arange(p, dtype=v.dtype)[:, None, None]).astype(v.dtype)
+    return jnp.einsum("kin,in->kn", perm, v)
+
 
 def project_columns_to_simplex(v: jnp.ndarray, z: float = 1.0) -> jnp.ndarray:
     """Project each column of ``v`` (shape (p, n)) onto {x >= 0, sum(x) = z}.
 
-    Matches the reference's tie/threshold behavior: rho is the largest sorted
+    Matches the reference's threshold behavior: rho is the largest sorted
     index with ``u_j - (cumsum_j - z)/(j+1) > 0`` (guaranteed to exist for
     z > 0 since j=0 always satisfies it).
     """
     p = v.shape[0]
-    u = jnp.flip(jnp.sort(v, axis=0), axis=0)  # descending per column
-    pi = jnp.cumsum(u, axis=0) - z
+    if p <= _SORT_FALLBACK_P:
+        u = _sorted_desc_small(v)
+    else:
+        u = jnp.flip(jnp.sort(v, axis=0), axis=0)
+    tri = jnp.tril(jnp.ones((p, p), v.dtype))
+    pi = tri @ u - jnp.asarray(z, v.dtype)                   # cumsum - z
     j1 = jnp.arange(1, p + 1, dtype=v.dtype)[:, None]
     cond = (u - pi / j1) > 0
     idx = jnp.where(cond, jnp.arange(p)[:, None], -1)
-    rho = jnp.max(idx, axis=0)  # (n,)
-    theta = jnp.take_along_axis(pi, rho[None, :], axis=0)[0] / (rho + 1).astype(v.dtype)
+    rho = jnp.max(idx, axis=0)                               # (n,)
+    rho_onehot = (jnp.arange(p)[:, None] == rho[None, :]).astype(v.dtype)
+    theta = jnp.sum(pi * rho_onehot, axis=0) / (rho + 1).astype(v.dtype)
     return jnp.maximum(v - theta[None, :], jnp.zeros((), v.dtype))

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from demethify_tpu.ops import fista
+from demethify_tpu.ops.fista import _run_steps
 from demethify_tpu.ops.cost import weighted_cost, weighted_cost_gram
 from demethify_tpu.ops.gram import sample_grams, site_curvature
 from demethify_tpu.ops.simplex import project_columns_to_simplex
@@ -34,7 +35,7 @@ def _fista_u_lagged_gram(u, u_prev, a, l_prev, l_cur, C, M, n_steps):
         u_new = jnp.clip(u_t + grad / l_cur, 0.0, 1.0)
         return (u_new, u, a1, l_cur)
 
-    return jax.lax.fori_loop(0, n_steps, body, (u, u_prev, a, l_prev))
+    return _run_steps(body, (u, u_prev, a, l_prev), n_steps)
 
 
 def _fista_u_lagged_direct(u, u_prev, a, l_prev, l_cur, y, d, alpha, n_steps):
@@ -48,7 +49,7 @@ def _fista_u_lagged_direct(u, u_prev, a, l_prev, l_cur, y, d, alpha, n_steps):
         u_new = jnp.clip(u_t + grad / l_cur, 0.0, 1.0)
         return (u_new, u, a1, l_cur)
 
-    return jax.lax.fori_loop(0, n_steps, body, (u, u_prev, a, l_prev))
+    return _run_steps(body, (u, u_prev, a, l_prev), n_steps)
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2", "use_gram_u",

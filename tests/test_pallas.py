@@ -1,0 +1,148 @@
+"""Pallas kernels (interpret mode on CPU) vs the XLA Gram-form solvers —
+identical trajectories required."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from demethify_tpu.ops.gram import sample_grams
+from demethify_tpu.ops.pallas_kernels import grams, u_phase
+from demethify_tpu.ops import fista
+from demethify_tpu.ops.gram import site_curvature, u_constant_term
+from demethify_tpu.solvers.fused import (
+    partial_ref_solve_fused,
+    purity_solve_fused,
+    unsupervised_solve_fused,
+)
+from demethify_tpu.solvers.partial_ref import partial_ref_solve
+from demethify_tpu.solvers.purity import purity_solve
+from demethify_tpu.solvers.unsupervised import unsupervised_solve
+
+TILE = 64  # small tile so the CPU interpreter exercises multiple programs
+
+
+class TestGramKernel:
+    def test_matches_xla(self, small_problem):
+        p = small_problem
+        R = np.hstack([p["R_trunc"], p["u_true"]])
+        want = sample_grams(jnp.asarray(R), jnp.asarray(p["d"]),
+                            jnp.asarray(p["y"]))
+        got = grams(jnp.asarray(p["y"].T), jnp.asarray(p["d"].T),
+                    jnp.asarray(R.T), tile=TILE)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-10)
+
+
+class TestUPhaseKernel:
+    @pytest.mark.parametrize("lagged", [False, True])
+    def test_matches_xla_loop(self, small_problem, lagged):
+        p = small_problem
+        y, d, Rt, n_u = p["y"], p["d"], p["R_trunc"], p["n_u"]
+        alpha = p["alpha"]
+        rng = np.random.default_rng(5)
+        u = rng.uniform(size=(y.shape[0], n_u))
+        l_w = np.linalg.norm(alpha[-n_u:]) ** 2 * d.max() ** 2
+
+        if lagged:
+            # unsupervised form: R = U, full alpha is the unknown block
+            alpha_u = rng.dirichlet(np.ones(n_u), size=y.shape[1]).T
+            C = (jnp.asarray(d) * jnp.asarray(y)) @ jnp.asarray(alpha_u).T
+            M = site_curvature(jnp.asarray(d), jnp.asarray(alpha_u))
+            from demethify_tpu.solvers.unsupervised import \
+                _fista_u_lagged_gram
+            want = _fista_u_lagged_gram(
+                jnp.asarray(u), jnp.asarray(u), jnp.ones(()),
+                jnp.asarray(l_w), jnp.asarray(l_w), C, M, 7)
+            got = u_phase(jnp.asarray(y.T), jnp.asarray(d.T), None, None,
+                          jnp.asarray(alpha_u), jnp.asarray(u.T),
+                          jnp.asarray(u.T), jnp.ones(()),
+                          jnp.asarray(l_w), jnp.asarray(l_w), 7,
+                          lagged=True, tile=TILE)
+        else:
+            C = u_constant_term(jnp.asarray(y), jnp.asarray(d),
+                                jnp.asarray(Rt), jnp.asarray(alpha[:-n_u]),
+                                jnp.asarray(alpha[-n_u:]))
+            M = site_curvature(jnp.asarray(d), jnp.asarray(alpha[-n_u:]))
+            want = fista.fista_u_gram(
+                jnp.asarray(u), jnp.asarray(u), jnp.ones(()),
+                jnp.asarray(l_w), jnp.asarray(l_w), C, M, 7)
+            got = u_phase(jnp.asarray(y.T), jnp.asarray(d.T),
+                          jnp.asarray(Rt.T), jnp.asarray(alpha[:-n_u]),
+                          jnp.asarray(alpha[-n_u:]), jnp.asarray(u.T),
+                          jnp.asarray(u.T), jnp.ones(()),
+                          jnp.asarray(l_w), jnp.asarray(l_w), 7, tile=TILE)
+
+        np.testing.assert_allclose(np.asarray(got[0]).T,
+                                   np.asarray(want[0]), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(got[1]).T,
+                                   np.asarray(want[1]), atol=1e-10)
+        assert float(got[2]) == pytest.approx(float(want[2]))
+        assert float(got[3]) == pytest.approx(float(want[3]))
+
+
+class TestFusedSolvers:
+    def test_partial_ref_trajectory(self, small_problem):
+        p = small_problem
+        y, d, Rt, n_u = p["y"], p["d"], p["R_trunc"], p["n_u"]
+        rng = np.random.default_rng(6)
+        u0 = rng.uniform(size=(y.shape[0], n_u))
+        a0 = rng.dirichlet(np.ones(Rt.shape[1] + n_u), size=y.shape[1]).T
+
+        want = partial_ref_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), n_u,
+            n_iter1=12, n_iter2=6, tol=1e-9)
+        got = partial_ref_solve_fused(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), n_u,
+            n_iter1=12, n_iter2=6, tol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   atol=1e-8)
+        np.testing.assert_allclose(float(got[2]["cost"]),
+                                   float(want[2]["cost"]), rtol=1e-9)
+
+    def test_unsupervised_trajectory(self, small_problem):
+        p = small_problem
+        y, d = p["y"], p["d"]
+        n_u = 3
+        rng = np.random.default_rng(7)
+        u0 = rng.uniform(size=(y.shape[0], n_u))
+        a0 = rng.dirichlet(np.ones(n_u), size=y.shape[1]).T
+
+        want = unsupervised_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), n_u, n_iter1=10, n_iter2=5, tol=1e-9)
+        got = unsupervised_solve_fused(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), n_u, n_iter1=10, n_iter2=5, tol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   atol=1e-8)
+
+    def test_purity_trajectory(self, small_problem):
+        p = small_problem
+        y, d, Rt, n_u = p["y"], p["d"], p["R_trunc"], p["n_u"]
+        n_s = y.shape[1]
+        rng = np.random.default_rng(8)
+        purity = rng.uniform(0.2, 0.8, size=n_s)
+        u0 = rng.uniform(size=(y.shape[0], n_u))
+        a1 = rng.dirichlet(np.ones(Rt.shape[1]), size=n_s).T * purity
+        a2 = rng.dirichlet(np.ones(n_u), size=n_s).T * (1 - purity)
+        a0 = np.vstack([a1, a2])
+
+        want = purity_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), jnp.asarray(purity), n_u,
+            n_iter1=6, n_iter2=20, tol=1e-9)
+        got = purity_solve_fused(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), jnp.asarray(purity), n_u,
+            n_iter1=6, n_iter2=20, tol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   atol=1e-8)
