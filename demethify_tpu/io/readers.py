@@ -20,6 +20,8 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 
+from demethify_tpu.io import fastbed
+
 
 @dataclass
 class Dataset:
@@ -32,6 +34,12 @@ class Dataset:
 
 def read_reference_bed(path: str, fillna: bool = False,
                        dtype=np.float64):
+    if fastbed.available():
+        header = fastbed.read_header(path, "\t")[3:]
+        vals = fastbed.parse_columns(path, header, "\t")
+        if fillna:
+            vals = np.nan_to_num(vals, nan=0.0)
+        return vals.astype(dtype), header
     df = pd.read_csv(path, sep="\t").iloc[:, 3:]
     if fillna:
         df = df.fillna(0)
@@ -50,11 +58,19 @@ def read_bedmethyl_samples(paths: List[str], fillna: bool = False,
                            dtype=np.float64):
     meth, counts = [], []
     for bed in paths:
-        df = pd.read_csv(bed, sep="\t")
-        if fillna:
-            df = df.fillna(0)
-        meth.append(df["percent_modified"].values / 100.0)
-        counts.append(df["valid_coverage"].values)
+        if fastbed.available():
+            vals = fastbed.parse_columns(
+                bed, ["percent_modified", "valid_coverage"], "\t")
+            if fillna:
+                vals = np.nan_to_num(vals, nan=0.0)
+            meth.append(vals[:, 0] / 100.0)
+            counts.append(vals[:, 1])
+        else:
+            df = pd.read_csv(bed, sep="\t")
+            if fillna:
+                df = df.fillna(0)
+            meth.append(df["percent_modified"].values / 100.0)
+            counts.append(df["valid_coverage"].values)
     return (np.column_stack(meth).astype(dtype),
             np.column_stack(counts).astype(dtype))
 
