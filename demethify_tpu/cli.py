@@ -101,6 +101,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--icmax', nargs=1, type=int, default=[25],
                         help='Upper end of the --ic sweep range '
                              '(reference hardcodes 25)')
+    parser.add_argument('--trace', action='store_true',
+                        help='Record and write the solver cost trajectory '
+                             'to <outdir>/cost_trajectory.csv')
+    parser.add_argument('--profile', nargs='?', default=None,
+                        help='Write a JAX device profile trace to this '
+                             'directory (view with xprof/TensorBoard)')
+    parser.add_argument('--debugnans', action='store_true',
+                        help='Raise at the first op producing NaN '
+                             '(jax_debug_nans)')
     return parser
 
 
@@ -116,6 +125,18 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    from demethify_tpu.utils import (
+        SolveStats,
+        device_profile,
+        enable_compile_cache,
+        enable_nan_debugging,
+        write_cost_trace,
+    )
+
+    enable_compile_cache()
+    if args.debugnans:
+        enable_nan_debugging()
 
     from demethify_tpu.io.readers import load_dataset
     from demethify_tpu.io.writers import (
@@ -221,6 +242,10 @@ def main(argv=None):
     # ------------------------------------------------------------------
     list_ic = None
     ic_n_u = None
+    res = None
+    stats = SolveStats(y.shape[0], y.shape[1])
+    profile_ctx = device_profile(args.profile)
+    profile_ctx.__enter__()
     if ic_name:
         u_best, proportions, ic_n_u, list_ic = evaluate_best_ic(
             y, d, ref_mat, args.init, ic_name, key=key,
@@ -234,7 +259,8 @@ def main(argv=None):
                                   n_restarts=restart,
                                   n_iter1=args.iterations[0],
                                   n_iter2=args.iterations[1],
-                                  tol=termination)
+                                  tol=termination,
+                                  record_trace=args.trace)
         proportions = res.proportions
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         header = unknown_header
@@ -246,14 +272,16 @@ def main(argv=None):
                                 n_restarts=restart,
                                 n_iter1=args.iterations[0],
                                 n_iter2=args.iterations[1],
-                                tol=termination)
+                                tol=termination,
+                                record_trace=args.trace)
         else:
             res = partial_reference_deconv(y, d, ref_mat, n_u,
                                            init=args.init, key=key,
                                            n_restarts=restart,
                                            n_iter1=args.iterations[0],
                                            n_iter2=args.iterations[1],
-                                           tol=termination)
+                                           tol=termination,
+                                           record_trace=args.trace)
         proportions = res.proportions
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         header += unknown_header
@@ -264,7 +292,13 @@ def main(argv=None):
     else:
         sys.exit(f'Invalid number of unknown value! : "{n_u}" ')
 
+    profile_ctx.__exit__(None, None, None)
     time_tot = time() - time_start
+    if res is not None:
+        stats.finish(res.n_iter)
+    if args.trace and res is not None and res.trace is not None \
+            and res.trace.size:
+        write_cost_trace(outdir, res.trace)
 
     # ------------------------------------------------------------------
     # outputs (reference demethify.py:221-239)
@@ -279,6 +313,9 @@ def main(argv=None):
 
     print("All demethified! Results in " + outdir)
     write_log(outdir, time_tot, ic_name, ic_n_u)
+    if res is not None and stats.elapsed:
+        with open(os.path.join(outdir, 'log.log'), 'a') as f:
+            f.write('\n' + stats.summary() + '\n')
 
     if args.plot:
         from demethify_tpu.plotting import plot_proportions

@@ -1,0 +1,85 @@
+"""Observability utilities: the reference only writes total wall time to
+log.log (`demethify/demethify.py:229-233`); here cost trajectories,
+device profiling, throughput counters, and NaN debugging are first-class
+(SURVEY.md §5).
+"""
+
+import contextlib
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def enable_compile_cache(path: str = "/tmp/demethify_tpu_jax_cache"):
+    """Persistent XLA compile cache — first compiles through the remote
+    TPU compile service can take minutes; repeats are seconds."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def enable_nan_debugging():
+    """The functional-purity analog of a race detector for this framework:
+    every jitted computation checks for NaNs and raises at the op that
+    produced them (`jax_debug_nans`)."""
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+
+
+@contextlib.contextmanager
+def device_profile(outdir: Optional[str]):
+    """JAX profiler trace around a block; view with TensorBoard or xprof.
+    No-op when outdir is None."""
+    if not outdir:
+        yield
+        return
+    import jax
+
+    os.makedirs(outdir, exist_ok=True)
+    with jax.profiler.trace(outdir):
+        yield
+
+
+class SolveStats:
+    """Throughput accounting for a solver run: sites/s/chip is the
+    BASELINE.json headline metric."""
+
+    def __init__(self, n_cpg: int, n_samples: int):
+        self.n_cpg = n_cpg
+        self.n_samples = n_samples
+        self._t0 = time.time()
+        self.elapsed = None
+        self.outer_iters = 0
+
+    def finish(self, outer_iters: int):
+        self.elapsed = time.time() - self._t0
+        self.outer_iters = int(outer_iters)
+        return self
+
+    @property
+    def site_iters_per_s(self) -> float:
+        if not self.elapsed:
+            return 0.0
+        return self.n_cpg * max(self.outer_iters, 1) / self.elapsed
+
+    def summary(self) -> str:
+        return (f"solver: {self.outer_iters} outer iterations in "
+                f"{self.elapsed:.3f}s = "
+                f"{self.site_iters_per_s/1e6:.1f}M site-iters/s")
+
+
+def write_cost_trace(outdir: str, trace, name: str = "cost_trajectory.csv"):
+    """Persist a solver's cost trajectory (NaN-padded trace from
+    record_trace=True) for convergence inspection/parity checking."""
+    tr = np.asarray(trace, dtype=np.float64)
+    tr = tr[~np.isnan(tr)]
+    path = os.path.join(outdir, name)
+    with open(path, "w") as f:
+        f.write("iteration,cost\n")
+        for i, c in enumerate(tr):
+            f.write(f"{i},{c}\n")
+    return path
