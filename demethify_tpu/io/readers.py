@@ -79,6 +79,23 @@ def read_csv_samples(paths: List[str], fillna: bool = False,
                      dtype=np.float64):
     meth, counts = [], []
     for csv in paths:
+        if fastbed.available():
+            header = fastbed.read_header(csv, ",")
+            if len(header) == 1:
+                vals = fastbed.parse_columns(csv, ["percent_modified"],
+                                             ",")
+                if fillna:
+                    vals = np.nan_to_num(vals, nan=0.0)
+                meth.append(vals[:, 0])
+                counts.append(np.ones(vals.shape[0]))
+            else:
+                vals = fastbed.parse_columns(
+                    csv, ["percent_modified", "valid_coverage"], ",")
+                if fillna:
+                    vals = np.nan_to_num(vals, nan=0.0)
+                meth.append(vals[:, 0])
+                counts.append(vals[:, 1])
+            continue
         df = pd.read_csv(csv)
         if df.shape[1] == 1:
             df["valid_coverage"] = 1

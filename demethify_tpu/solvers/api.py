@@ -18,6 +18,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from demethify_tpu.ops import fista
 from demethify_tpu.ops.cost import weighted_cost
 from demethify_tpu.ops.nnls import wls_intercept_batch
 from demethify_tpu.solvers.init import (
@@ -93,9 +94,12 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
             return init_provided
         return init_partial(k, init, y, d, R_trunc, n_u)
 
+    gram_u = fista.use_gram_u(n_u, y.shape[1], n_iter2)
+
     def solve_fn(u0, a0):
         return partial_ref_solve(u0, a0, y, d, R_trunc, n_u,
                                  n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                                 use_gram_u=gram_u,
                                  record_trace=record_trace)
 
     det = init in _DETERMINISTIC_INITS or init_provided is not None
@@ -155,9 +159,12 @@ def unsupervised_deconv(y, d, n_u: int, *,
             return init_provided
         return init_unsupervised(k, init, y, d, n_u)
 
+    gram_u = fista.use_gram_u(n_u, y.shape[1], n_iter2)
+
     def solve_fn(u0, a0):
         return unsupervised_solve(u0, a0, y, d, n_u,
                                   n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                                  use_gram_u=gram_u,
                                   record_trace=record_trace)
 
     det = init in _DETERMINISTIC_INITS or init_provided is not None
