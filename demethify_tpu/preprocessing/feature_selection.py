@@ -14,16 +14,29 @@ import numpy as np
 import pandas as pd
 
 
-def _scores(values: np.ndarray, n: int, method: str) -> np.ndarray:
+# Panels below this row count are scored host-side: NumPy finishes in
+# milliseconds, while initializing an accelerator + compiling var/SVD can
+# take minutes on a remote-compile TPU runtime for zero gain.
+_DEVICE_THRESHOLD_ROWS = 200_000
+
+
+def _scores(values: np.ndarray, n: int, method: str,
+            force_device: bool = False) -> np.ndarray:
+    if method not in ("var", "svd"):
+        raise ValueError("Invalid method! Choose 'var' or 'svd'.")
+    if values.shape[0] < _DEVICE_THRESHOLD_ROWS and not force_device:
+        if method == "var":
+            return values.var(axis=1, ddof=1)
+        U, _, _ = np.linalg.svd(values, full_matrices=False)
+        return np.abs(U[:, :n]).sum(axis=1)
+
     import jax.numpy as jnp
 
     x = jnp.asarray(values)
     if method == "var":
         return np.asarray(jnp.var(x, axis=1, ddof=1))
-    if method == "svd":
-        U, _, _ = jnp.linalg.svd(x, full_matrices=False)
-        return np.asarray(jnp.sum(jnp.abs(U[:, :n]), axis=1))
-    raise ValueError("Invalid method! Choose 'var' or 'svd'.")
+    U, _, _ = jnp.linalg.svd(x, full_matrices=False)
+    return np.asarray(jnp.sum(jnp.abs(U[:, :n]), axis=1))
 
 
 def feature_select(bedfile: str, n: int, output_folder: str,
