@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--icmax', nargs=1, type=int, default=[25],
                         help='Upper end of the --ic sweep range '
                              '(reference hardcodes 25)')
+    parser.add_argument('--reltol', action='store_true',
+                        help='Interpret --termination as a fraction of the '
+                             'initial cost (recommended for megabase-scale '
+                             'float32 runs, where an absolute 1e-2 is below '
+                             'accumulation noise)')
     parser.add_argument('--trace', action='store_true',
                         help='Record and write the solver cost trajectory '
                              'to <outdir>/cost_trajectory.csv')
@@ -260,6 +265,7 @@ def main(argv=None):
                                   n_iter1=args.iterations[0],
                                   n_iter2=args.iterations[1],
                                   tol=termination,
+                                  tol_relative=args.reltol,
                                   record_trace=args.trace)
         proportions = res.proportions
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
@@ -273,6 +279,7 @@ def main(argv=None):
                                 n_iter1=args.iterations[0],
                                 n_iter2=args.iterations[1],
                                 tol=termination,
+                                tol_relative=args.reltol,
                                 record_trace=args.trace)
         else:
             res = partial_reference_deconv(y, d, ref_mat, n_u,
@@ -281,6 +288,7 @@ def main(argv=None):
                                            n_iter1=args.iterations[0],
                                            n_iter2=args.iterations[1],
                                            tol=termination,
+                                           tol_relative=args.reltol,
                                            record_trace=args.trace)
         proportions = res.proportions
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]

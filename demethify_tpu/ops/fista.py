@@ -29,7 +29,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from demethify_tpu.ops.simplex import project_columns_to_simplex
+from demethify_tpu.ops.simplex import (
+    project_columns_to_simplex,
+    project_columns_to_simplex_masked,
+)
 
 
 _UNROLL_LIMIT = 64
@@ -45,12 +48,14 @@ def _momentum(a0, a1, l_prev, l_cur):
 
 
 def _run_steps(body, carry, n_steps: int):
-    """Unrolled when small (fusable elementwise DAG), fori_loop otherwise."""
+    """Unrolled when small (fusable elementwise DAG); partially-unrolled
+    fori_loop otherwise (unroll=8 still fuses 8-step chains per loop
+    iteration while keeping the program small)."""
     if n_steps <= _UNROLL_LIMIT:
         for _ in range(n_steps):
             carry = body(None, carry)
         return carry
-    return jax.lax.fori_loop(0, n_steps, body, carry)
+    return jax.lax.fori_loop(0, n_steps, body, carry, unroll=8)
 
 
 # ---------------------------------------------------------------------------
@@ -106,13 +111,22 @@ def fista_u_direct(u, u_prev, a, l_w_prev, l_w, y, d, R_trunc, a1_block,
 # alpha block (simplex projection)
 # ---------------------------------------------------------------------------
 
-def fista_alpha_gram(alpha, alpha_prev, a, l_h_prev, l_h, G, b, n_steps: int):
+def fista_alpha_gram(alpha, alpha_prev, a, l_h_prev, l_h, G, b,
+                     n_steps: int, row_mask=None):
     """n_steps FISTA steps on alpha in Gram form.
 
     alpha: (p, n_s); G: (n_s, p, p); b: (p, n_s).
     Gradient R'(D ⊙ (Y - R a_t)) == b - G a_t per sample. The whole loop
     touches only O(p^2 n_s) data — no pass over the CpG axis.
+
+    ``row_mask`` (p,) restricts the simplex projection to active rows
+    (padded model-selection sweep); None = all rows active.
     """
+
+    def project(v):
+        if row_mask is None:
+            return project_columns_to_simplex(v)
+        return project_columns_to_simplex_masked(v, row_mask)
 
     def body(_, carry):
         alpha, alpha_prev, a, l_prev = carry
@@ -121,7 +135,7 @@ def fista_alpha_gram(alpha, alpha_prev, a, l_h_prev, l_h, G, b, n_steps: int):
         beta = _momentum(a0, a2, l_prev, l_h)
         a_t = alpha + beta * (alpha - alpha_prev)
         grad = b - jnp.einsum("spq,qs->ps", G, a_t)
-        a_new = project_columns_to_simplex(a_t + grad / l_h)
+        a_new = project(a_t + grad / l_h)
         return (a_new, alpha, a2, l_h)
 
     return _run_steps(body, (alpha, alpha_prev, a, l_h_prev), n_steps)

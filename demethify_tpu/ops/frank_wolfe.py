@@ -40,7 +40,7 @@ def frank_wolfe_gram(alpha1, alpha2, G, b, purity, max_iter: int):
         gamma = 2.0 / (k.astype(alpha.dtype) + 2.0)
         return (1.0 - gamma) * alpha + gamma * s
 
-    alpha = jax.lax.fori_loop(0, max_iter, body, alpha)
+    alpha = jax.lax.fori_loop(0, max_iter, body, alpha, unroll=8)
     return alpha[:p1], alpha[p1:]
 
 

@@ -57,3 +57,21 @@ def project_columns_to_simplex(v: jnp.ndarray, z: float = 1.0) -> jnp.ndarray:
     rho_onehot = (jnp.arange(p)[:, None] == rho[None, :]).astype(v.dtype)
     theta = jnp.sum(pi * rho_onehot, axis=0) / (rho + 1).astype(v.dtype)
     return jnp.maximum(v - theta[None, :], jnp.zeros((), v.dtype))
+
+
+_MASK_NEG = -1e30
+
+
+def project_columns_to_simplex_masked(v: jnp.ndarray, row_mask,
+                                      z: float = 1.0) -> jnp.ndarray:
+    """Simplex projection restricted to the rows where ``row_mask`` is True.
+
+    Inactive rows come out exactly 0 and the active rows get EXACTLY the
+    same values as projecting the length-``sum(mask)`` subvector: inactive
+    entries are pushed to -1e30, so they sort last, never satisfy the
+    threshold condition, and clip to zero. This is what makes the padded
+    compile-once model-selection sweep (selection/batched_sweep.py)
+    bit-identical to per-rank solves.
+    """
+    v_m = jnp.where(row_mask[:, None], v, jnp.asarray(_MASK_NEG, v.dtype))
+    return project_columns_to_simplex(v_m, z=z)

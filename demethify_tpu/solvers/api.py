@@ -83,6 +83,7 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
                              n_restarts: int = 1,
                              n_iter1: int = 10000, n_iter2: int = 20,
                              tol: float = 1e-2,
+                             tol_relative: bool = False,
                              record_trace: bool = False,
                              init_provided=None) -> DeconvolutionResult:
     """Partial-reference mode (`--ref --nbunknown k`)."""
@@ -100,6 +101,7 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
         return partial_ref_solve(u0, a0, y, d, R_trunc, n_u,
                                  n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                                  use_gram_u=gram_u,
+                                 tol_relative=tol_relative,
                                  record_trace=record_trace)
 
     det = init in _DETERMINISTIC_INITS or init_provided is not None
@@ -116,6 +118,7 @@ def purity_deconv(y, d, R_trunc, n_u: int, purity, *,
                   n_restarts: int = 1,
                   n_iter1: int = 100, n_iter2: int = 500,
                   tol: float = 1e-2,
+                  tol_relative: bool = False,
                   record_trace: bool = False,
                   init_provided=None) -> DeconvolutionResult:
     """Purity-constrained mode (`--ref --nbunknown k --purity ...`);
@@ -132,6 +135,7 @@ def purity_deconv(y, d, R_trunc, n_u: int, purity, *,
     def solve_fn(u0, a0):
         return purity_solve(u0, a0, y, d, R_trunc, purity, n_u,
                             n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                            tol_relative=tol_relative,
                             record_trace=record_trace)
 
     det = init in _DETERMINISTIC_INITS or init_provided is not None
@@ -148,6 +152,7 @@ def unsupervised_deconv(y, d, n_u: int, *,
                         n_restarts: int = 1,
                         n_iter1: int = 10000, n_iter2: int = 20,
                         tol: float = 1e-2,
+                        tol_relative: bool = False,
                         record_trace: bool = False,
                         init_provided=None) -> DeconvolutionResult:
     """Unsupervised mode (no `--ref`)."""
@@ -165,6 +170,7 @@ def unsupervised_deconv(y, d, n_u: int, *,
         return unsupervised_solve(u0, a0, y, d, n_u,
                                   n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                                   use_gram_u=gram_u,
+                                  tol_relative=tol_relative,
                                   record_trace=record_trace)
 
     det = init in _DETERMINISTIC_INITS or init_provided is not None

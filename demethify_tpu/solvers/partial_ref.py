@@ -33,11 +33,13 @@ from demethify_tpu.ops.gram import sample_grams, site_curvature, u_constant_term
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2", "use_gram_u",
-                                   "record_trace"))
+                                   "record_trace", "tol_relative"))
 def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
                       n_iter1: int = 10000, n_iter2: int = 20,
                       tol: float = 1e-2, use_gram_u: bool = True,
-                      record_trace: bool = False):
+                      record_trace: bool = False,
+                      tol_relative: bool = False,
+                      row_mask=None):
     """Run the partial-reference BCD to convergence.
 
     u: (n_cpg, n_u) initial unknown profiles; alpha: (p, n_s) initial
@@ -46,6 +48,11 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
     Returns (u, alpha, info) where info = {'cost': final cost,
     'n_iter': outer iterations run, 'trace': (n_iter1,) cost history
     (NaN-padded) if record_trace}.
+
+    ``row_mask`` ((p,) bool, optional) restricts alpha to active rows for
+    the padded compile-once model-selection sweep: with inactive u
+    columns and alpha rows initialized to zero, the masked solve is
+    exactly the lower-rank solve (see selection/batched_sweep.py).
     """
     dtype = y.dtype
     dmax2 = jnp.max(d) ** 2
@@ -53,6 +60,7 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
     l_h0 = jnp.sum(R0 * R0) * dmax2
     cf0 = weighted_cost(y, R0, alpha, d)
+    tol = tol * cf0 if tol_relative else tol
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -82,7 +90,8 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
         l_h = jnp.sum(R * R) * dmax2
 
         alpha, alpha_prev, a2, l_h_prev = fista.fista_alpha_gram(
-            alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2)
+            alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2,
+            row_mask=row_mask)
 
         l_w = jnp.sum(alpha[-n_u:] ** 2) * dmax2
         cf_new = weighted_cost_gram(G, b, ydy, alpha)

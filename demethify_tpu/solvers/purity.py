@@ -22,11 +22,12 @@ from demethify_tpu.ops.gram import sample_grams, site_curvature, u_constant_term
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2", "use_gram_u",
-                                   "record_trace"))
+                                   "record_trace", "tol_relative"))
 def purity_solve(u, alpha, y, d, R_trunc, purity, n_u: int,
                  n_iter1: int = 100, n_iter2: int = 500,
                  tol: float = 1e-2, use_gram_u: bool = True,
-                 record_trace: bool = False):
+                 record_trace: bool = False,
+                 tol_relative: bool = False):
     """u: (n_cpg, n_u); alpha: (p, n_s) stacked [known; unknown];
     purity: (n_s,) already flipped to 1 - p/100 by the CLI
     (reference `demethify.py:77`). Returns (u, alpha, info)."""
@@ -36,6 +37,7 @@ def purity_solve(u, alpha, y, d, R_trunc, purity, n_u: int,
     R0 = jnp.concatenate([R_trunc, u], axis=1)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
     cf0 = weighted_cost(y, R0, alpha, d)
+    tol = tol * cf0 if tol_relative else tol
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))

@@ -53,17 +53,20 @@ def _fista_u_lagged_direct(u, u_prev, a, l_prev, l_cur, y, d, alpha, n_steps):
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2", "use_gram_u",
-                                   "record_trace"))
+                                   "record_trace", "tol_relative"))
 def unsupervised_solve(u, alpha, y, d, n_u: int,
                        n_iter1: int = 10000, n_iter2: int = 20,
                        tol: float = 1e-2, use_gram_u: bool = True,
-                       record_trace: bool = False):
+                       record_trace: bool = False,
+                       tol_relative: bool = False,
+                       row_mask=None):
     """u: (n_cpg, n_u), alpha: (n_u, n_s). Returns (u, alpha, info)."""
     dtype = y.dtype
     dmax2 = jnp.max(d) ** 2
     l_w0 = jnp.sum(alpha * alpha) * dmax2  # alpha[-n_u:] == whole alpha here
     l_h0 = jnp.sum(u * u) * dmax2
     cf0 = weighted_cost(y, u, alpha, d)
+    tol = tol * cf0 if tol_relative else tol
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -89,7 +92,8 @@ def unsupervised_solve(u, alpha, y, d, n_u: int,
         l_h = jnp.sum(u * u) * dmax2
 
         alpha, alpha_prev, a2, l_h_prev = fista.fista_alpha_gram(
-            alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2)
+            alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2,
+            row_mask=row_mask)
 
         l_w = jnp.sum(alpha * alpha) * dmax2
         cf_new = weighted_cost_gram(G, b, ydy, alpha)
