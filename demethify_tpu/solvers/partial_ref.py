@@ -29,7 +29,12 @@ import jax.numpy as jnp
 
 from demethify_tpu.ops import fista
 from demethify_tpu.ops.cost import weighted_cost, weighted_cost_gram
-from demethify_tpu.ops.gram import sample_grams, site_curvature, u_constant_term
+from demethify_tpu.ops.gram import (
+    known_block_grams,
+    sample_grams_incremental,
+    site_curvature,
+    u_constant_term,
+)
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2", "use_gram_u",
@@ -61,6 +66,9 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
     l_h0 = jnp.sum(R0 * R0) * dmax2
     cf0 = weighted_cost(y, R0, alpha, d)
     tol = tol * cf0 if tol_relative else tol
+    # loop-invariant known-block Grams and ||Rt||^2 (ops/gram.py)
+    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
+    rt_sq = jnp.sum(R_trunc * R_trunc)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -85,9 +93,8 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
                 u, u_prev, a1, l_w_prev, l_w, y, d, R_trunc,
                 a1_block, a2_block, n_iter2)
 
-        R = jnp.concatenate([R_trunc, u], axis=1)
-        G, b, ydy = sample_grams(R, d, y)
-        l_h = jnp.sum(R * R) * dmax2
+        G, b = sample_grams_incremental(G_tt, b_t, R_trunc, u, d, y)
+        l_h = (rt_sq + jnp.sum(u * u)) * dmax2
 
         alpha, alpha_prev, a2, l_h_prev = fista.fista_alpha_gram(
             alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2,

@@ -18,7 +18,12 @@ import jax.numpy as jnp
 from demethify_tpu.ops import fista
 from demethify_tpu.ops.cost import weighted_cost, weighted_cost_gram
 from demethify_tpu.ops.frank_wolfe import frank_wolfe_gram
-from demethify_tpu.ops.gram import sample_grams, site_curvature, u_constant_term
+from demethify_tpu.ops.gram import (
+    known_block_grams,
+    sample_grams_incremental,
+    site_curvature,
+    u_constant_term,
+)
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2", "use_gram_u",
@@ -38,6 +43,7 @@ def purity_solve(u, alpha, y, d, R_trunc, purity, n_u: int,
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
     cf0 = weighted_cost(y, R0, alpha, d)
     tol = tol * cf0 if tol_relative else tol
+    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -61,8 +67,7 @@ def purity_solve(u, alpha, y, d, R_trunc, purity, n_u: int,
                 u, u_prev, a1, l_w_prev, l_w, y, d, R_trunc,
                 a1_block, a2_block, n_iter2)
 
-        R = jnp.concatenate([R_trunc, u], axis=1)
-        G, b, ydy = sample_grams(R, d, y)
+        G, b = sample_grams_incremental(G_tt, b_t, R_trunc, u, d, y)
 
         alpha1, alpha2 = frank_wolfe_gram(
             alpha[:-n_u], alpha[-n_u:], G, b, purity, n_iter2)
