@@ -27,3 +27,6 @@ from demethify_tpu.solvers.api import (  # noqa: F401
     supervised_deconv,
     unsupervised_deconv,
 )
+from demethify_tpu.selection.sweep import evaluate_best_ic  # noqa: F401
+from demethify_tpu.uncertainty.bootstrap import bootstrap_ci  # noqa: F401
+from demethify_tpu.io.readers import Dataset, load_dataset  # noqa: F401

@@ -54,6 +54,16 @@ def read_reference_csv(path: str, fillna: bool = False,
     return df.values.astype(dtype), list(df.columns)
 
 
+
+def _check_equal_rows(meth, paths):
+    lens = {len(m) for m in meth}
+    if len(lens) > 1:
+        detail = ", ".join(f"{p.split('/')[-1]}:{len(m)}"
+                           for p, m in zip(paths, meth))
+        raise ValueError(
+            f"Sample files have different CpG row counts ({detail}) — "
+            f"intersect them first (demethify-tpu-intersect).")
+
 def read_bedmethyl_samples(paths: List[str], fillna: bool = False,
                            dtype=np.float64):
     meth, counts = [], []
@@ -71,6 +81,7 @@ def read_bedmethyl_samples(paths: List[str], fillna: bool = False,
                 df = df.fillna(0)
             meth.append(df["percent_modified"].values / 100.0)
             counts.append(df["valid_coverage"].values)
+    _check_equal_rows(meth, paths)
     return (np.column_stack(meth).astype(dtype),
             np.column_stack(counts).astype(dtype))
 
@@ -103,6 +114,7 @@ def read_csv_samples(paths: List[str], fillna: bool = False,
             df = df.fillna(0)
         meth.append(df["percent_modified"].values)
         counts.append(df["valid_coverage"].values)
+    _check_equal_rows(meth, paths)
     return (np.column_stack(meth).astype(dtype),
             np.column_stack(counts).astype(dtype))
 
@@ -120,6 +132,11 @@ def load_dataset(methfreq: List[str], ref: Optional[str] = None,
         if ref:
             ref_mat, header = read_reference_csv(ref, fillna, dtype)
         meth_f, counts = read_csv_samples(methfreq, fillna, dtype)
+    if ref_mat is not None and ref_mat.shape[0] != meth_f.shape[0]:
+        raise ValueError(
+            f"Row mismatch: reference has {ref_mat.shape[0]} CpG rows but "
+            f"samples have {meth_f.shape[0]} — intersect the BED files "
+            f"first (demethify-tpu-intersect).")
     sample_names = [p.split("/")[-1] for p in methfreq]
     return Dataset(meth_f=meth_f, counts=counts, ref=ref_mat,
                    header=header, sample_names=sample_names)

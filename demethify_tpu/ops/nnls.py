@@ -51,8 +51,11 @@ def nnls_gram(G, c, n_iter: int = 600):
         z_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
         return (x_new, z_new, t_new)
 
+    # unroll=8: fuses 8-step chains of these tiny ops per loop iteration
+    # (dispatch latency dominates at p ~ 6)
     x, _, _ = jax.lax.fori_loop(0, n_iter, body,
-                                (x0, x0, jnp.ones((), G.dtype)))
+                                (x0, x0, jnp.ones((), G.dtype)),
+                                unroll=8)
 
     # KKT polish: exact LS solve restricted to the detected support.
     support = x > 1e-9
