@@ -97,6 +97,146 @@ def batched_rank_sweep(y, d, ref, *, n_u_max: int, key,
     return u_b, alpha_b, info["cost"], info["n_iter"]
 
 
+def batched_ccc_sweep(y, d, ref, *, n_u_max: int, n_restarts: int, key,
+                      iter1: int, iter2: int, tol: float):
+    """CCC sweep: ALL (rank, restart) members as one vmapped solve.
+
+    Cluster assignments (argmax over alpha rows, `ic.py:30`) are untouched
+    by the zero padding — inactive rows are exactly 0 and every column has
+    a positive active entry — so the consensus matrices match per-rank
+    solves. Returns (best_u, best_alpha, best_n_u, list_ic) with the
+    reference's convention of keeping the LAST restart's factors per rank.
+    """
+    from demethify_tpu.selection.ccc import compute_ccc
+    from demethify_tpu.solvers.partial_ref import partial_ref_solve
+    from demethify_tpu.solvers.unsupervised import unsupervised_solve
+
+    y = jnp.asarray(y)
+    d = jnp.asarray(d)
+    n_cpg, n_s = y.shape
+    dtype = y.dtype
+    n_ct = 0 if ref is None else ref.shape[1]
+    masks = _member_masks(n_ct, n_u_max)                    # (K, p)
+    masks_b = jnp.repeat(masks, n_restarts, axis=0)         # (K*R, p)
+    keys = jax.random.split(key, n_u_max * n_restarts)
+
+    def init_one(k, row_mask):
+        return _masked_uniform_init(k, n_cpg, n_ct, n_u_max, n_s, dtype,
+                                    row_mask)
+
+    u0_b, a0_b = jax.vmap(init_one)(keys, masks_b)
+
+    if ref is not None:
+        ref = jnp.asarray(ref)
+
+        def solve_one(u0, a0, row_mask):
+            return partial_ref_solve(
+                u0, a0, y, d, ref, n_u_max, n_iter1=iter1, n_iter2=iter2,
+                tol=tol, row_mask=row_mask)
+    else:
+        def solve_one(u0, a0, row_mask):
+            return unsupervised_solve(
+                u0, a0, y, d, n_u_max, n_iter1=iter1, n_iter2=iter2,
+                tol=tol, row_mask=row_mask)
+
+    u_b, alpha_b, _ = jax.vmap(solve_one)(u0_b, a0_b, masks_b)
+    alpha_np = np.asarray(alpha_b).reshape(n_u_max, n_restarts,
+                                           n_ct + n_u_max, n_s)
+    u_np = np.asarray(u_b).reshape(n_u_max, n_restarts, n_cpg, n_u_max)
+
+    list_ic = []
+    best = None
+    for i in range(n_u_max):
+        runs = [alpha_np[i, r] for r in range(n_restarts)]
+        ic_val = -compute_ccc(runs)
+        list_ic.append(float(ic_val))
+        if best is None or ic_val < best[0]:
+            n_u = i + 1
+            alpha_last = np.concatenate(
+                [alpha_np[i, -1][:n_ct],
+                 alpha_np[i, -1][n_ct:n_ct + n_u]], axis=0)
+            best = (ic_val, u_np[i, -1][:, :n_u], alpha_last, n_u)
+    return best[1], best[2], best[3], list_ic
+
+
+def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
+                      iter1: int, iter2: int, tol: float,
+                      fraction: float = 0.3):
+    """Bi-cross-validation sweep with ONE compilation: the vmapped masked
+    solver is jitted once over all ranks, and the host loops folds (the
+    reference redraws the same fold masks for every rank, `ic.py:59`, so
+    sharing masks across ranks matches its semantics). Returns
+    (best_u, best_alpha, best_n_u, list_press)."""
+    from demethify_tpu.solvers.partial_ref import partial_ref_solve
+    from demethify_tpu.solvers.unsupervised import unsupervised_solve
+
+    y = jnp.asarray(y)
+    d = jnp.asarray(d)
+    n_cpg, n_s = y.shape
+    dtype = y.dtype
+    n_ct = 0 if ref is None else ref.shape[1]
+    masks = _member_masks(n_ct, n_u_max)
+    k_folds, k_init = jax.random.split(key)
+    keys = jax.random.split(k_init, n_u_max)
+
+    def init_one(k, row_mask):
+        return _masked_uniform_init(k, n_cpg, n_ct, n_u_max, n_s, dtype,
+                                    row_mask)
+
+    u0_b, a0_b = jax.vmap(init_one)(keys, masks)
+
+    if ref is not None:
+        ref_j = jnp.asarray(ref)
+
+        @jax.jit
+        def solve_all_ranks(y_tr, d_tr):
+            def one(u0, a0, row_mask):
+                return partial_ref_solve(
+                    u0, a0, y_tr, d_tr, ref_j, n_u_max, n_iter1=iter1,
+                    n_iter2=iter2, tol=tol, row_mask=row_mask)
+            return jax.vmap(one)(u0_b, a0_b, masks)
+    else:
+        @jax.jit
+        def solve_all_ranks(y_tr, d_tr):
+            def one(u0, a0, row_mask):
+                return unsupervised_solve(
+                    u0, a0, y_tr, d_tr, n_u_max, n_iter1=iter1,
+                    n_iter2=iter2, tol=tol, row_mask=row_mask)
+            return jax.vmap(one)(u0_b, a0_b, masks)
+
+    total_press = np.zeros(n_u_max)
+    best_per_rank = [None] * n_u_max
+
+    for fold in range(n_folds):
+        kf = jax.random.fold_in(k_folds, fold)
+        train_mask = jax.random.uniform(kf, y.shape) < fraction
+        test_mask = ~train_mask
+        n_test = float(jnp.sum(test_mask))
+        if n_test == 0:
+            continue
+        u_b, alpha_b, _ = solve_all_ranks(y * train_mask, d * train_mask)
+        for i in range(n_u_max):
+            if ref is not None:
+                R = jnp.concatenate([jnp.asarray(ref), u_b[i]], axis=1)
+            else:
+                R = u_b[i]
+            y_pred = R @ alpha_b[i]
+            err = float(jnp.sum(((y - y_pred) * test_mask) ** 2)) / n_test
+            total_press[i] += err
+            if best_per_rank[i] is None or err < best_per_rank[i][0]:
+                best_per_rank[i] = (err, np.asarray(u_b[i]),
+                                    np.asarray(alpha_b[i]))
+
+    list_press = total_press.tolist()
+    best_i = int(np.argmin(total_press))
+    best_n_u = best_i + 1
+    _, u_full, alpha_full = best_per_rank[best_i]
+    u_best = u_full[:, :best_n_u]
+    alpha_best = np.concatenate(
+        [alpha_full[:n_ct], alpha_full[n_ct:n_ct + best_n_u]], axis=0)
+    return u_best, alpha_best, best_n_u, list_press
+
+
 def evaluate_ic_batched(y, d, ref, ic: str, *, key=None, seed: int = 1,
                         iter1: int, iter2: int, tol: float,
                         n_u_max: int = 25):

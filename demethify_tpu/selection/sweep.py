@@ -94,14 +94,23 @@ def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
     n_cpg, n_samples = y.shape
     n_ct = 0 if ref is None else ref.shape[1]
 
-    if ic in ("AIC", "BIC") and init_option == "uniform_":
-        # compile-once padded sweep: all ranks in ONE vmapped solve
-        # (selection/batched_sweep.py) — vs n_u_max separate compiles
-        from demethify_tpu.selection.batched_sweep import \
-            evaluate_ic_batched
+    if init_option == "uniform_" and ic in ("AIC", "BIC", "CCC", "BCV"):
+        # compile-once padded sweeps: every rank (x restart/fold) solved
+        # under ONE compilation (selection/batched_sweep.py) — vs n_u_max
+        # separate shape-specialized compiles
+        from demethify_tpu.selection import batched_sweep as bs
 
-        return evaluate_ic_batched(y, d, ref, ic, key=key, iter1=iter1,
-                                   iter2=iter2, tol=tol, n_u_max=n_u_max)
+        if ic in ("AIC", "BIC"):
+            return bs.evaluate_ic_batched(y, d, ref, ic, key=key,
+                                          iter1=iter1, iter2=iter2,
+                                          tol=tol, n_u_max=n_u_max)
+        if ic == "CCC":
+            return bs.batched_ccc_sweep(y, d, ref, n_u_max=n_u_max,
+                                        n_restarts=n_restarts, key=key,
+                                        iter1=iter1, iter2=iter2, tol=tol)
+        return bs.batched_bcv_sweep(y, d, ref, n_u_max=n_u_max,
+                                    n_folds=n_restarts, key=key,
+                                    iter1=iter1, iter2=iter2, tol=tol)
 
     if ic == "minka":
         best_n_u, minka_result = select_rank_minka(

@@ -143,3 +143,42 @@ class TestBatchedSweep:
         with pytest.raises(ValueError):
             evaluate_ic_batched(jnp.asarray(p["y"]), jnp.asarray(p["d"]),
                                 None, "CCC", iter1=1, iter2=1, tol=1.0)
+
+
+class TestBatchedCCCAndBCV:
+    def test_ccc_sweep(self, small_problem):
+        from demethify_tpu.selection.batched_sweep import batched_ccc_sweep
+        p = small_problem
+        u, alpha, n_u, ics = batched_ccc_sweep(
+            p["y"], p["d"], jnp.asarray(p["R_trunc"]), n_u_max=3,
+            n_restarts=3, key=jax.random.PRNGKey(0),
+            iter1=10, iter2=5, tol=1e-7)
+        assert len(ics) == 3
+        assert u.shape[1] == n_u
+        assert alpha.shape[0] == p["R_trunc"].shape[1] + n_u
+        np.testing.assert_allclose(alpha.sum(axis=0), 1.0, atol=1e-8)
+        assert ics[n_u - 1] == min(ics)
+
+    def test_bcv_sweep(self, small_problem):
+        from demethify_tpu.selection.batched_sweep import batched_bcv_sweep
+        p = small_problem
+        u, alpha, n_u, press = batched_bcv_sweep(
+            p["y"], p["d"], jnp.asarray(p["R_trunc"]), n_u_max=3,
+            n_folds=3, key=jax.random.PRNGKey(1),
+            iter1=10, iter2=5, tol=1e-7)
+        assert len(press) == 3
+        assert all(v > 0 for v in press)
+        assert u.shape[1] == n_u
+        assert press[n_u - 1] == min(press)
+
+    def test_sweep_dispatches_batched(self, small_problem):
+        from demethify_tpu.selection.sweep import evaluate_best_ic
+        p = small_problem
+        u, alpha, n_u, ics = evaluate_best_ic(
+            p["y"], p["d"], p["R_trunc"], "uniform_", "CCC",
+            iter1=8, iter2=4, tol=1e-6, n_restarts=3, n_u_max=2)
+        assert len(ics) == 2
+        u, alpha, n_u, ics = evaluate_best_ic(
+            p["y"], p["d"], p["R_trunc"], "uniform_", "BCV",
+            iter1=8, iter2=4, tol=1e-6, n_restarts=3, n_u_max=2)
+        assert len(ics) == 2
