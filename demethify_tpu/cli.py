@@ -142,6 +142,10 @@ def main(argv=None):
     enable_compile_cache()
     if args.debugnans:
         enable_nan_debugging()
+    if args.dtype == 'bfloat16':
+        print("Warning: bfloat16 is experimental — the weighted-cost "
+              "accumulation saturates at scale, so use --reltol and treat "
+              "reported costs as approximate.")
 
     from demethify_tpu.io.readers import load_dataset
     from demethify_tpu.io.writers import (
