@@ -14,9 +14,19 @@ import jax.numpy as jnp
 from demethify_tpu.ops.nnls import wls_intercept_batch
 
 
+# Above this aspect ratio the thin SVD goes through the shardable
+# Gram-eigh path (ops/tall_svd.py) instead of dense LAPACK-style SVD —
+# required for megabase-scale CpG panels where V never fits one device.
+_TALL_RATIO = 16
+
+
 def nndsvd_initialize(V, rank: int, flag: int = 0, key=None):
     """Nonneg double-SVD init. V: (m, n) nonnegative. Returns (W, H)."""
-    U, S, Vt = jnp.linalg.svd(V, full_matrices=False)
+    if V.shape[0] >= _TALL_RATIO * V.shape[1]:
+        from demethify_tpu.ops.tall_svd import tall_svd
+        U, S, Vt = tall_svd(V)
+    else:
+        U, S, Vt = jnp.linalg.svd(V, full_matrices=False)
     E = Vt.T
 
     w0 = jnp.sqrt(S[0]) * jnp.abs(U[:, 0])

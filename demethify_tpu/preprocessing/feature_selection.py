@@ -32,10 +32,13 @@ def _scores(values: np.ndarray, n: int, method: str,
 
     import jax.numpy as jnp
 
+    from demethify_tpu.ops.tall_svd import tall_svd
+
     x = jnp.asarray(values)
     if method == "var":
         return np.asarray(jnp.var(x, axis=1, ddof=1))
-    U, _, _ = jnp.linalg.svd(x, full_matrices=False)
+    # tall-skinny SVD via the shardable Gram path (ops/tall_svd.py)
+    U, _, _ = tall_svd(x)
     return np.asarray(jnp.sum(jnp.abs(U[:, :n]), axis=1))
 
 

@@ -174,3 +174,49 @@ class TestInitStrategies:
         assert u.shape == (80, 3) and alpha.shape == (3, 6)
         np.testing.assert_allclose(np.asarray(alpha).sum(axis=0), 1.0,
                                    atol=1e-6)
+
+
+class TestTallSVD:
+    def test_matches_dense_svd(self, rng):
+        from demethify_tpu.ops.tall_svd import (
+            tall_svd,
+            tall_svd_singular_values,
+        )
+        V = rng.uniform(size=(500, 8))
+        U, s, Wt = tall_svd(jnp.asarray(V))
+        Ud, sd, Wtd = np.linalg.svd(V, full_matrices=False)
+        np.testing.assert_allclose(np.asarray(s), sd, rtol=1e-9)
+        # reconstruction (basis sign/rotation ambiguity aside)
+        np.testing.assert_allclose(
+            np.asarray(U) * np.asarray(s)[None, :] @ np.asarray(Wt), V,
+            atol=1e-9)
+        # orthonormal left factor
+        np.testing.assert_allclose(np.asarray(U).T @ np.asarray(U),
+                                   np.eye(8), atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(tall_svd_singular_values(jnp.asarray(V))), sd,
+            rtol=1e-9)
+
+    def test_sharded_gram_reduction(self, rng):
+        from demethify_tpu.ops.tall_svd import tall_svd
+        from demethify_tpu.parallel.mesh import cpg_sharding, make_mesh
+        mesh = make_mesh(jax.devices())
+        V = rng.uniform(size=(512, 6))
+        V_s = jax.device_put(jnp.asarray(V), cpg_sharding(mesh))
+        U, s, Wt = jax.jit(tall_svd)(V_s)
+        _, sd, _ = (None, np.linalg.svd(V, compute_uv=False), None)
+        np.testing.assert_allclose(np.asarray(s), sd, rtol=1e-9)
+        # U keeps the row sharding (no gather of the tall matrix)
+        assert len(U.sharding.device_set) > 1
+
+    def test_nndsvd_tall_path(self, rng):
+        from demethify_tpu.ops.nndsvd import nndsvd_initialize
+        V = rng.uniform(size=(400, 5))  # 80:1 -> tall path
+        W, H = nndsvd_initialize(jnp.asarray(V), rank=3)
+        W, H = np.asarray(W), np.asarray(H)
+        assert (W >= 0).all() and (H >= 0).all()
+        # rank-1 leading component must reproduce the dense result
+        Ud, sd, Ed = np.linalg.svd(V, full_matrices=False)
+        np.testing.assert_allclose(W[:, 0],
+                                   np.sqrt(sd[0]) * np.abs(Ud[:, 0]),
+                                   atol=1e-8)
