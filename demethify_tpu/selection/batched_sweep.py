@@ -261,7 +261,9 @@ def evaluate_ic_batched(y, d, ref, ic: str, *, key=None, seed: int = 1,
     fn = compute_bic if ic == "BIC" else compute_aic
     list_ic = [float(fn(costs[i], i + 1, n_cpg, n_ct, n_samples))
                for i in range(n_u_max)]
-    best_i = int(np.argmin(list_ic))
+    # NaN-proof argmin (a non-finite criterion never wins)
+    best_i = int(np.argmin(np.where(np.isfinite(list_ic), list_ic,
+                                    np.inf)))
     best_n_u = best_i + 1
 
     u_best = np.asarray(u_b[best_i])[:, :best_n_u]
