@@ -50,7 +50,7 @@ def write_ci_proportions(outdir: str, lower: np.ndarray, upper: np.ndarray,
     lower/upper: (p, n_s)."""
     data = {}
     for j, name in enumerate(sample_names):
-        data[name] = [(lower[k, j], upper[k, j])
+        data[name] = [(float(lower[k, j]), float(upper[k, j]))
                       for k in range(lower.shape[0])]
     df = pd.DataFrame(data, index=list(cell_types))
     df.index.name = "Cell Type"
@@ -65,7 +65,7 @@ def write_ci_profile(outdir: str, lower: np.ndarray, upper: np.ndarray,
     `bootstrap.py:80-89`). lower/upper: (n_cpg, n_u)."""
     data = {}
     for k, name in enumerate(unknown_header):
-        data[name] = [(lower[j, k], upper[j, k])
+        data[name] = [(float(lower[j, k]), float(upper[j, k]))
                       for j in range(lower.shape[0])]
     df = pd.DataFrame(data)
     df.to_csv(os.path.join(
