@@ -234,6 +234,10 @@ def main(argv=None):
     # ------------------------------------------------------------------
     ci_props_df = None
     if args.confidence:
+        if ref_mat is None:
+            sys.stderr.write("Error: --confidence requires --ref (the "
+                             "bootstrap resamples the reference rows).\n")
+            sys.exit(1)
         level, n_boot = args.confidence
         lo_p, hi_p, lo_u, hi_u = bootstrap_ci(
             y, d, ref_mat, n_u, level=level, n_bootstrap=n_boot,
