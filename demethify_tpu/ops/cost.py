@@ -14,9 +14,14 @@ import jax.numpy as jnp
 
 
 def weighted_cost(y, R, alpha, d) -> jnp.ndarray:
-    """sum(d * (y - R @ alpha)**2), scalar."""
-    resid = y - R @ alpha
-    return jnp.sum(d * resid * resid)
+    """sum(d * (y - R @ alpha)**2), scalar (accumulated in float32 when
+    the inputs are stored bfloat16 — see ops.gram.accum_dtype)."""
+    from demethify_tpu.ops.gram import accum_dtype
+
+    acc = accum_dtype(y)
+    resid = y - jnp.einsum("ip,ps->is", R, alpha,
+                           preferred_element_type=acc).astype(y.dtype)
+    return jnp.sum((d * resid * resid).astype(acc))
 
 
 def weighted_cost_gram(G, b, ydy, alpha) -> jnp.ndarray:

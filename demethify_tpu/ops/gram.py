@@ -27,6 +27,15 @@ row sharding with no communication.
 import jax.numpy as jnp
 
 
+def accum_dtype(x):
+    """Accumulation dtype for reductions over the CpG axis: low-precision
+    storage (bfloat16 mixed mode — halves HBM traffic) still accumulates
+    in float32; float32/float64 stay as-is."""
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        return jnp.float32
+    return x.dtype
+
+
 def sample_grams(R, d, y):
     """Per-sample Gram system for the alpha subproblem.
 
@@ -36,9 +45,10 @@ def sample_grams(R, d, y):
       ydy: (n_s,)    = sum_i d_is y_is^2
     One pass over (Y, D, R); all outputs are tiny and replicated.
     """
-    G = jnp.einsum("ip,is,iq->spq", R, d, R)
-    b = R.T @ (d * y)
-    ydy = jnp.sum(d * y * y, axis=0)
+    acc = accum_dtype(y)
+    G = jnp.einsum("ip,is,iq->spq", R, d, R, preferred_element_type=acc)
+    b = jnp.einsum("ip,is->ps", R, d * y, preferred_element_type=acc)
+    ydy = jnp.sum((d * y * y).astype(acc), axis=0)
     return G, b, ydy
 
 
@@ -49,9 +59,12 @@ def known_block_grams(R_trunc, d, y):
 
     Returns (G_tt (n_s, n_ct, n_ct), b_t (n_ct, n_s), ydy (n_s,)).
     """
-    G_tt = jnp.einsum("ip,is,iq->spq", R_trunc, d, R_trunc)
-    b_t = R_trunc.T @ (d * y)
-    ydy = jnp.sum(d * y * y, axis=0)
+    acc = accum_dtype(y)
+    G_tt = jnp.einsum("ip,is,iq->spq", R_trunc, d, R_trunc,
+                      preferred_element_type=acc)
+    b_t = jnp.einsum("ip,is->ps", R_trunc, d * y,
+                     preferred_element_type=acc)
+    ydy = jnp.sum((d * y * y).astype(acc), axis=0)
     return G_tt, b_t, ydy
 
 
@@ -61,9 +74,12 @@ def sample_grams_incremental(G_tt, b_t, R_trunc, u, d, y):
     full p x p Grams when n_ct dominates p. Exactly equals
     sample_grams([Rt|u], d, y)[:2].
     """
-    G_tu = jnp.einsum("ip,is,iu->spu", R_trunc, d, u)
-    G_uu = jnp.einsum("iu,is,iv->suv", u, d, u)
-    b_u = u.T @ (d * y)
+    acc = accum_dtype(y)
+    G_tu = jnp.einsum("ip,is,iu->spu", R_trunc, d, u,
+                      preferred_element_type=acc)
+    G_uu = jnp.einsum("iu,is,iv->suv", u, d, u,
+                      preferred_element_type=acc)
+    b_u = jnp.einsum("iu,is->us", u, d * y, preferred_element_type=acc)
     top = jnp.concatenate([G_tt, G_tu], axis=2)
     bottom = jnp.concatenate([jnp.swapaxes(G_tu, 1, 2), G_uu], axis=2)
     G = jnp.concatenate([top, bottom], axis=1)
@@ -76,7 +92,8 @@ def site_curvature(d, a2):
 
     d: (n_cpg, n_s), a2: (n_u, n_s)  ->  M: (n_cpg, n_u, n_u).
     """
-    return jnp.einsum("us,is,vs->iuv", a2, d, a2)
+    return jnp.einsum("us,is,vs->iuv", a2, d, a2,
+                      preferred_element_type=accum_dtype(d))
 
 
 def u_constant_term(y, d, R_trunc, a1, a2):
@@ -85,8 +102,11 @@ def u_constant_term(y, d, R_trunc, a1, a2):
     For the unsupervised case pass R_trunc=None / a1=None and the
     Y-only form is used (R = U so the 'known block' is empty).
     """
+    acc = accum_dtype(y)
     if R_trunc is None:
         resid = y
     else:
-        resid = y - R_trunc @ a1
-    return (d * resid) @ a2.T
+        resid = y - jnp.einsum("ic,cs->is", R_trunc, a1,
+                               preferred_element_type=acc).astype(y.dtype)
+    return jnp.einsum("is,us->iu", d * resid, a2,
+                      preferred_element_type=acc)

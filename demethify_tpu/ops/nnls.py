@@ -84,6 +84,12 @@ def wls_intercept(y, w, X, n_iter: int = 600):
     Returns (p,) simplex-normalized nonneg coefficients (intercept discarded,
     as the reference does at `init_func.py:12`).
     """
+    from demethify_tpu.ops.gram import accum_dtype
+
+    acc = accum_dtype(X)
+    y = y.astype(acc)
+    w = w.astype(acc)
+    X = X.astype(acc)
     wsum = jnp.maximum(jnp.sum(w), 1e-30)
     x_off = (w @ X) / wsum
     y_off = (w @ y) / wsum

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from demethify_tpu.ops import fista
 from demethify_tpu.ops.cost import weighted_cost, weighted_cost_gram
 from demethify_tpu.ops.gram import (
+    accum_dtype,
     known_block_grams,
     sample_grams_incremental,
     site_curvature,
@@ -59,9 +60,11 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
     columns and alpha rows initialized to zero, the masked solve is
     exactly the lower-rank solve (see selection/batched_sweep.py).
     """
-    dtype = y.dtype
-    dmax2 = jnp.max(d) ** 2
-    R0 = jnp.concatenate([R_trunc, u], axis=1)
+    dtype = accum_dtype(y)
+    u = u.astype(dtype)
+    alpha = alpha.astype(dtype)
+    dmax2 = jnp.max(d).astype(dtype) ** 2
+    R0 = jnp.concatenate([R_trunc.astype(dtype), u], axis=1)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
     l_h0 = jnp.sum(R0 * R0) * dmax2
     cf0 = weighted_cost(y, R0, alpha, d)

@@ -19,6 +19,7 @@ from demethify_tpu.ops import fista
 from demethify_tpu.ops.cost import weighted_cost, weighted_cost_gram
 from demethify_tpu.ops.frank_wolfe import frank_wolfe_gram
 from demethify_tpu.ops.gram import (
+    accum_dtype,
     known_block_grams,
     sample_grams_incremental,
     site_curvature,
@@ -36,10 +37,12 @@ def purity_solve(u, alpha, y, d, R_trunc, purity, n_u: int,
     """u: (n_cpg, n_u); alpha: (p, n_s) stacked [known; unknown];
     purity: (n_s,) already flipped to 1 - p/100 by the CLI
     (reference `demethify.py:77`). Returns (u, alpha, info)."""
-    dtype = y.dtype
+    dtype = accum_dtype(y)
     n_ct = R_trunc.shape[1]
-    dmax2 = jnp.max(d) ** 2
-    R0 = jnp.concatenate([R_trunc, u], axis=1)
+    u = u.astype(dtype)
+    alpha = alpha.astype(dtype)
+    dmax2 = jnp.max(d).astype(dtype) ** 2
+    R0 = jnp.concatenate([R_trunc.astype(dtype), u], axis=1)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
     cf0 = weighted_cost(y, R0, alpha, d)
     tol = tol * cf0 if tol_relative else tol

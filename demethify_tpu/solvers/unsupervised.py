@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from demethify_tpu.ops import fista
 from demethify_tpu.ops.fista import _run_steps
 from demethify_tpu.ops.cost import weighted_cost, weighted_cost_gram
-from demethify_tpu.ops.gram import sample_grams, site_curvature
+from demethify_tpu.ops.gram import accum_dtype, sample_grams, site_curvature
 from demethify_tpu.ops.simplex import project_columns_to_simplex
 
 
@@ -61,8 +61,10 @@ def unsupervised_solve(u, alpha, y, d, n_u: int,
                        tol_relative: bool = False,
                        row_mask=None):
     """u: (n_cpg, n_u), alpha: (n_u, n_s). Returns (u, alpha, info)."""
-    dtype = y.dtype
-    dmax2 = jnp.max(d) ** 2
+    dtype = accum_dtype(y)
+    u = u.astype(dtype)
+    alpha = alpha.astype(dtype)
+    dmax2 = jnp.max(d).astype(dtype) ** 2
     l_w0 = jnp.sum(alpha * alpha) * dmax2  # alpha[-n_u:] == whole alpha here
     l_h0 = jnp.sum(u * u) * dmax2
     cf0 = weighted_cost(y, u, alpha, d)
