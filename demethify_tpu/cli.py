@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--debugnans', action='store_true',
                         help='Raise at the first op producing NaN '
                              '(jax_debug_nans)')
+    parser.add_argument('--shard', action='store_true',
+                        help='Row-shard the CpG axis across all local '
+                             'devices (multi-chip); Gram reductions run '
+                             'as psum collectives over ICI')
     return parser
 
 
@@ -219,11 +223,25 @@ def main(argv=None):
     ds = load_dataset(args.methfreq, ref=args.ref,
                       bedmethyl=args.bedmethyl, fillna=args.fillna,
                       dtype=np_dtype)
+    n_cpg_orig = ds.meth_f.shape[0]
     dev_dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else None
-    y = jnp.asarray(ds.meth_f, dtype=dev_dtype)
-    d = jnp.asarray(ds.counts, dtype=dev_dtype)
-    ref_mat = None if ds.ref is None else jnp.asarray(ds.ref,
-                                                      dtype=dev_dtype)
+    if args.shard and len(jax.devices()) > 1:
+        from demethify_tpu.parallel.mesh import make_mesh, shard_dataset
+        mesh = make_mesh(jax.devices(), replicate=1)
+        y, d, ref_mat = shard_dataset(
+            mesh,
+            ds.meth_f.astype(np_dtype), ds.counts.astype(np_dtype),
+            None if ds.ref is None else ds.ref.astype(np_dtype))
+        if dev_dtype is not None:
+            y = y.astype(dev_dtype)
+            d = d.astype(dev_dtype)
+            ref_mat = None if ref_mat is None else \
+                ref_mat.astype(dev_dtype)
+    else:
+        y = jnp.asarray(ds.meth_f, dtype=dev_dtype)
+        d = jnp.asarray(ds.counts, dtype=dev_dtype)
+        ref_mat = None if ds.ref is None else jnp.asarray(ds.ref,
+                                                          dtype=dev_dtype)
     header = list(ds.header)
 
     time_start = time()
@@ -243,12 +261,14 @@ def main(argv=None):
             y, d, ref_mat, n_u, level=level, n_bootstrap=n_boot,
             init_option=args.init, n_iter1=args.iterations[0],
             n_iter2=args.iterations[1], tol=termination,
-            purity=purity, key=jax.random.fold_in(key, 987654321))
+            purity=purity, key=jax.random.fold_in(key, 987654321),
+            n_rows=n_cpg_orig)
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         ci_props_df = write_ci_proportions(
             outdir, lo_p, hi_p, header + unknown_header, ds.sample_names)
         if n_u > 0:
-            write_ci_profile(outdir, lo_u, hi_u, unknown_header)
+            write_ci_profile(outdir, lo_u[:n_cpg_orig],
+                             hi_u[:n_cpg_orig], unknown_header)
 
     # ------------------------------------------------------------------
     # point estimate (reference demethify.py:154-217)
@@ -266,7 +286,8 @@ def main(argv=None):
             tol=termination, n_restarts=nb_r, n_u_max=args.icmax[0])
         unknown_header = [f"unknown_cell_{i+1}" for i in range(ic_n_u)]
         header += unknown_header
-        write_profile_estimate(outdir, u_best, unknown_header)
+        write_profile_estimate(outdir, np.asarray(u_best)[:n_cpg_orig],
+                               unknown_header)
     elif ref_mat is None:
         res = unsupervised_deconv(y, d, n_u, init=args.init, key=key,
                                   n_restarts=restart,
@@ -278,7 +299,8 @@ def main(argv=None):
         proportions = res.proportions
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         header = unknown_header
-        write_profile_estimate(outdir, res.u, unknown_header)
+        write_profile_estimate(outdir, np.asarray(res.u)[:n_cpg_orig],
+                               unknown_header)
     elif n_u > 0 and y.shape[1] >= 1:
         if purity is not None:
             res = purity_deconv(y, d, ref_mat, n_u, purity,
@@ -301,7 +323,8 @@ def main(argv=None):
         proportions = res.proportions
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         header += unknown_header
-        write_profile_estimate(outdir, res.u, unknown_header)
+        write_profile_estimate(outdir, np.asarray(res.u)[:n_cpg_orig],
+                               unknown_header)
     elif n_u == 0 and y.shape[1] >= 1:
         res = supervised_deconv(y, d, ref_mat)
         proportions = res.proportions

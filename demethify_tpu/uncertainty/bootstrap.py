@@ -41,7 +41,8 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                  tol: float = 1e-2,
                  purity=None,
                  key=None, seed: int = 1,
-                 batch_size: int = 256):
+                 batch_size: int = 256,
+                 n_rows=None):
     """Returns (lower_props, upper_props, lower_u, upper_u); the u bounds
     are None in supervised mode (n_u == 0)."""
     from demethify_tpu.ops.nnls import wls_intercept_batch
@@ -58,11 +59,14 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
     if purity is not None:
         purity = jnp.asarray(purity, y.dtype)
     n_cpg = y.shape[0]
+    # resample only real rows (rows beyond n_rows are zero-coverage
+    # padding added for sharding divisibility)
+    n_sample_rows = n_cpg if n_rows is None else int(n_rows)
     supervised = n_u == 0
 
     def one_replicate(k):
         k_idx, k_init = jax.random.split(k)
-        idx = jax.random.randint(k_idx, (n_cpg,), 0, n_cpg)
+        idx = jax.random.randint(k_idx, (n_cpg,), 0, n_sample_rows)
         yb = y[idx]
         db = d[idx]
         refb = ref[idx]
