@@ -191,6 +191,12 @@ def main(argv=None):
                              "[0,100] bounds.")
             sys.exit(1)
         purity = 1.0 - (purity_arr / 100.0)
+        if len(purity) != len(args.methfreq):
+            sys.stderr.write(
+                f"Error: --purity needs one value per sample "
+                f"({len(args.methfreq)} samples, {len(purity)} purity "
+                f"values given).\n")
+            sys.exit(1)
 
     nb_r = 5
     ic_name = None

@@ -165,3 +165,19 @@ class TestGoldenCostParity:
         # known block within run-to-run variance of the golden
         rmse = np.sqrt(np.mean((got.values[:-1] - want.values[:-1]) ** 2))
         assert rmse < 0.1
+
+
+class TestDeterminism:
+    def test_same_seed_same_output(self, tmp_path):
+        a, b = tmp_path / "a", tmp_path / "b"
+        for out in (a, b):
+            _run(out, "--ref", REF, "--nbunknown", "1", "--seed", "11",
+                 "--iterations", "50", "10")
+        pa = _read_props(a / "celltypes_proportions.csv")
+        pb = _read_props(b / "celltypes_proportions.csv")
+        np.testing.assert_array_equal(pa.values, pb.values)
+
+    def test_purity_length_mismatch_rejected(self, tmp_path, capsys):
+        with pytest.raises(SystemExit):
+            _run(tmp_path, "--ref", REF, "--nbunknown", "1",
+                 "--purity", "60", "70")  # 10 samples, 2 purity values
