@@ -15,7 +15,6 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
 
 def _checkpointer():

@@ -159,7 +159,6 @@ def main(argv=None):
         write_profile_estimate,
         write_proportions,
     )
-    from demethify_tpu.ops.cost import weighted_cost
     from demethify_tpu.selection.sweep import evaluate_best_ic
     from demethify_tpu.solvers.api import (
         partial_reference_deconv,

@@ -22,8 +22,6 @@ one vmapped computation:
 One compilation, one device dispatch, n_u_max-way batch parallelism.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,8 +15,6 @@ Each n_u is a different factor shape, hence its own XLA compilation; the
 compile cache makes repeated sweeps cheap.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

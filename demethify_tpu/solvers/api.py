@@ -13,7 +13,7 @@ distinct fold of the PRNG key, which is what makes restarts meaningful.
 """
 
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from demethify_tpu.ops import fista
 from demethify_tpu.ops.cost import weighted_cost_gram
+from demethify_tpu.ops.gram import accum_dtype
 from demethify_tpu.ops.frank_wolfe import frank_wolfe_gram
 from demethify_tpu.ops.pallas_kernels import grams, u_phase
 
@@ -34,7 +35,9 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
                             n_iter1: int = 10000, n_iter2: int = 20,
                             tol: float = 1e-2, record_trace: bool = False):
     """Drop-in equivalent of partial_ref_solve (same trajectory)."""
-    dtype = y.dtype
+    dtype = accum_dtype(y)
+    u = u.astype(dtype)
+    alpha = alpha.astype(dtype)
     yt, dt, rtt, ut = y.T, d.T, R_trunc.T, u.T
     dmax2 = jnp.max(d) ** 2
     rt0 = jnp.concatenate([rtt, ut], axis=0)
@@ -89,7 +92,9 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
                              tol: float = 1e-2,
                              record_trace: bool = False):
     """Fused unsupervised NMF (R = U, lagged-gradient quirk preserved)."""
-    dtype = y.dtype
+    dtype = accum_dtype(y)
+    u = u.astype(dtype)
+    alpha = alpha.astype(dtype)
     yt, dt, ut = y.T, d.T, u.T
     dmax2 = jnp.max(d) ** 2
     l_w0 = jnp.sum(alpha * alpha) * dmax2
@@ -141,7 +146,9 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
                        n_iter1: int = 100, n_iter2: int = 500,
                        tol: float = 1e-2, record_trace: bool = False):
     """Fused purity-constrained solver (Frank-Wolfe alpha on Grams)."""
-    dtype = y.dtype
+    dtype = accum_dtype(y)
+    u = u.astype(dtype)
+    alpha = alpha.astype(dtype)
     yt, dt, rtt, ut = y.T, d.T, R_trunc.T, u.T
     dmax2 = jnp.max(d) ** 2
     rt0 = jnp.concatenate([rtt, ut], axis=0)

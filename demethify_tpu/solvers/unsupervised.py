@@ -18,7 +18,6 @@ from demethify_tpu.ops import fista
 from demethify_tpu.ops.fista import _run_steps
 from demethify_tpu.ops.cost import weighted_cost, weighted_cost_gram
 from demethify_tpu.ops.gram import accum_dtype, sample_grams, site_curvature
-from demethify_tpu.ops.simplex import project_columns_to_simplex
 
 
 def _fista_u_lagged_gram(u, u_prev, a, l_prev, l_cur, C, M, n_steps):

@@ -19,7 +19,7 @@ model than the point estimate. Here the bootstrap uses the SAME flipped
 purity as the main path.
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
