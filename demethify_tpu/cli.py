@@ -182,13 +182,13 @@ def main(argv=None):
     purity = None
     if args.purity:
         purity_arr = np.array(args.purity, dtype=np.float64)
-        if np.any((purity_arr >= 0) & (purity_arr <= 1)):
-            print("Purity is between 0 and 1, are you sure that it's a "
-                  "percentage?")
-        elif np.any((purity_arr < 0) | (purity_arr > 100)):
+        if np.any((purity_arr < 0) | (purity_arr > 100)):
             sys.stderr.write("Error: Invalid value for purity, not within "
                              "[0,100] bounds.")
             sys.exit(1)
+        if np.any((purity_arr >= 0) & (purity_arr <= 1)):
+            print("Purity is between 0 and 1, are you sure that it's a "
+                  "percentage?")
         purity = 1.0 - (purity_arr / 100.0)
         if len(purity) != len(args.methfreq):
             sys.stderr.write(
@@ -267,7 +267,7 @@ def main(argv=None):
             init_option=args.init, n_iter1=args.iterations[0],
             n_iter2=args.iterations[1], tol=termination,
             purity=purity, key=jax.random.fold_in(key, 987654321),
-            n_rows=n_cpg_orig)
+            n_rows=n_cpg_orig, tol_relative=args.reltol)
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         ci_props_df = write_ci_proportions(
             outdir, lo_p, hi_p, header + unknown_header, ds.sample_names)
@@ -288,7 +288,8 @@ def main(argv=None):
         u_best, proportions, ic_n_u, list_ic = evaluate_best_ic(
             y, d, ref_mat, args.init, ic_name, key=key,
             iter1=args.iterations[0], iter2=args.iterations[1],
-            tol=termination, n_restarts=nb_r, n_u_max=args.icmax[0])
+            tol=termination, tol_relative=args.reltol,
+            n_restarts=nb_r, n_u_max=args.icmax[0])
         unknown_header = [f"unknown_cell_{i+1}" for i in range(ic_n_u)]
         header += unknown_header
         write_profile_estimate(outdir, np.asarray(u_best)[:n_cpg_orig],
@@ -349,11 +350,8 @@ def main(argv=None):
     # ------------------------------------------------------------------
     import pandas as pd
     props_np = np.asarray(proportions, dtype=np.float64)
-    props_df = pd.DataFrame(props_np)
-    props_df.index = header
-    props_df.columns = ds.sample_names
-    props_df.index.name = "Cell types"
-    write_proportions(outdir, props_np, header, ds.sample_names)
+    props_df = write_proportions(outdir, props_np, header,
+                                 ds.sample_names)
 
     print("All demethified! Results in " + outdir)
     write_log(outdir, time_tot, ic_name, ic_n_u)

@@ -18,7 +18,7 @@ def write_proportions(outdir: str, proportions: np.ndarray,
     df.index.name = "Cell types"
     path = os.path.join(outdir, "celltypes_proportions.csv")
     df.to_csv(path, index=True)
-    return path
+    return df
 
 
 def write_profile_estimate(outdir: str, u: np.ndarray,

@@ -69,8 +69,9 @@ def _u_phase_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref, rtt_ref,
     l_w = scal_ref[0, 1]
     l_w_prev0 = scal_ref[0, 2]
 
-    yt = yt_ref[:]
-    dt = dt_ref[:]
+    state_dt = u_ref.dtype
+    yt = yt_ref[:].astype(state_dt)
+    dt = dt_ref[:].astype(state_dt)
     a2b = a2b_ref[:]                      # (n_u, n_s)
 
     if rtt_ref is not None:
@@ -128,9 +129,10 @@ def u_phase(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
     npad = yt.shape[-1]
     grid = (npad // tile,)
 
-    scal = jnp.reshape(jnp.stack([a.astype(yt.dtype),
-                                  l_w.astype(yt.dtype),
-                                  l_w_prev.astype(yt.dtype)]), (1, 3))
+    state_dt = ut.dtype
+    scal = jnp.reshape(jnp.stack([a.astype(state_dt),
+                                  l_w.astype(state_dt),
+                                  l_w_prev.astype(state_dt)]), (1, 3))
 
     lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
         (rows, tile), lambda k: (0, k), memory_space=pltpu.VMEM)
@@ -152,7 +154,7 @@ def u_phase(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
         kern = functools.partial(_u_phase_kernel, n_steps=n_steps,
                                  n_u=n_u, lagged=lagged)
     else:
-        dummy = jnp.zeros((1, 1), yt.dtype)
+        dummy = jnp.zeros((1, 1), state_dt)
         in_specs = [
             pl.BlockSpec((1, 3), lambda k: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -169,12 +171,15 @@ def u_phase(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
                             n_steps=n_steps, n_u=n_u, lagged=lagged)
 
     out_spec = [lane_spec(n_u), lane_spec(n_u)]
+    # outputs carry the solver STATE dtype (float32 even when storage is
+    # bfloat16), matching the while_loop carry
+    state_dtype = ut.dtype
     u_new, up_new = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_u, npad), yt.dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n_u, npad), state_dtype)] * 2,
         interpret=_interpret(),
     )(*args)
 
@@ -201,15 +206,16 @@ def _gram_kernel(yt_ref, dt_ref, r_ref, g_ref, b_ref, ydy_ref, *, n_s):
     dy = dt * yt                      # (n_s, T)
 
     b_part = jax.lax.dot_general(r, dy, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=yt.dtype)
-    ydy_part = jnp.sum(dy * yt, axis=1, keepdims=True).T   # (1, n_s)
+                                 preferred_element_type=g_ref.dtype)
+    ydy_part = jnp.sum((dy * yt).astype(g_ref.dtype), axis=1,
+                       keepdims=True).T   # (1, n_s)
 
     g_parts = []
     for s in range(n_s):
         rs = r * dt[s][None, :]
         g_parts.append(jax.lax.dot_general(
             rs, r, (((1,), (1,)), ((), ())),
-            preferred_element_type=yt.dtype))
+            preferred_element_type=g_ref.dtype))
     g_part = jnp.stack(g_parts, axis=0)   # (n_s, p, p)
 
     @pl.when(k == 0)
@@ -231,6 +237,9 @@ def grams(yt, dt, rt, *, tile: int = LANE_TILE):
     yt/dt: (n_s, N), rt: (p, N). Returns (G (n_s,p,p), b (p,n_s),
     ydy (n_s,)). Matches ops.gram.sample_grams on the untransposed arrays.
     """
+    from demethify_tpu.ops.gram import accum_dtype
+
+    acc = accum_dtype(yt)
     n_s = yt.shape[0]
     p = rt.shape[0]
     yt, _ = _pad_lanes(yt, tile)
@@ -251,9 +260,9 @@ def grams(yt, dt, rt, *, tile: int = LANE_TILE):
         in_specs=[lane_spec(n_s), lane_spec(n_s), lane_spec(p)],
         out_specs=[acc_spec((n_s, p, p)), acc_spec((p, n_s)),
                    acc_spec((1, n_s))],
-        out_shape=[jax.ShapeDtypeStruct((n_s, p, p), yt.dtype),
-                   jax.ShapeDtypeStruct((p, n_s), yt.dtype),
-                   jax.ShapeDtypeStruct((1, n_s), yt.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((n_s, p, p), acc),
+                   jax.ShapeDtypeStruct((p, n_s), acc),
+                   jax.ShapeDtypeStruct((1, n_s), acc)],
         interpret=_interpret(),
     )(yt, dt, rt)
     return G, b, ydy[0]

@@ -28,8 +28,9 @@ CPG_AXIS = "cpg"
 
 
 def factor_devices(n_devices: int, replicate: Optional[int] = None):
-    """Split n_devices into (replicate, cpg) — largest even split of the
-    replicate axis by default."""
+    """Split n_devices into (replicate, cpg). Default keeps the replicate
+    axis SMALL (first divisor of 2/4/8 that fits), giving the cpg axis —
+    the long sharded dimension — the majority of devices."""
     if replicate is None:
         replicate = 1
         for cand in (2, 4, 8):

@@ -96,7 +96,8 @@ def batched_rank_sweep(y, d, ref, *, n_u_max: int, key,
 
 
 def batched_ccc_sweep(y, d, ref, *, n_u_max: int, n_restarts: int, key,
-                      iter1: int, iter2: int, tol: float):
+                      iter1: int, iter2: int, tol: float,
+                      tol_relative: bool = False):
     """CCC sweep: ALL (rank, restart) members as one vmapped solve.
 
     Cluster assignments (argmax over alpha rows, `ic.py:30`) are untouched
@@ -130,12 +131,12 @@ def batched_ccc_sweep(y, d, ref, *, n_u_max: int, n_restarts: int, key,
         def solve_one(u0, a0, row_mask):
             return partial_ref_solve(
                 u0, a0, y, d, ref, n_u_max, n_iter1=iter1, n_iter2=iter2,
-                tol=tol, row_mask=row_mask)
+                tol=tol, tol_relative=tol_relative, row_mask=row_mask)
     else:
         def solve_one(u0, a0, row_mask):
             return unsupervised_solve(
                 u0, a0, y, d, n_u_max, n_iter1=iter1, n_iter2=iter2,
-                tol=tol, row_mask=row_mask)
+                tol=tol, tol_relative=tol_relative, row_mask=row_mask)
 
     u_b, alpha_b, _ = jax.vmap(solve_one)(u0_b, a0_b, masks_b)
     alpha_np = np.asarray(alpha_b).reshape(n_u_max, n_restarts,
@@ -159,7 +160,7 @@ def batched_ccc_sweep(y, d, ref, *, n_u_max: int, n_restarts: int, key,
 
 def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
                       iter1: int, iter2: int, tol: float,
-                      fraction: float = 0.3):
+                      fraction: float = 0.3, tol_relative: bool = False):
     """Bi-cross-validation sweep with ONE compilation: the vmapped masked
     solver is jitted once over all ranks, and the host loops folds (the
     reference redraws the same fold masks for every rank, `ic.py:59`, so
@@ -191,7 +192,8 @@ def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
             def one(u0, a0, row_mask):
                 return partial_ref_solve(
                     u0, a0, y_tr, d_tr, ref_j, n_u_max, n_iter1=iter1,
-                    n_iter2=iter2, tol=tol, row_mask=row_mask)
+                    n_iter2=iter2, tol=tol, tol_relative=tol_relative,
+                    row_mask=row_mask)
             return jax.vmap(one)(u0_b, a0_b, masks)
     else:
         @jax.jit
@@ -199,7 +201,8 @@ def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
             def one(u0, a0, row_mask):
                 return unsupervised_solve(
                     u0, a0, y_tr, d_tr, n_u_max, n_iter1=iter1,
-                    n_iter2=iter2, tol=tol, row_mask=row_mask)
+                    n_iter2=iter2, tol=tol, tol_relative=tol_relative,
+                    row_mask=row_mask)
             return jax.vmap(one)(u0_b, a0_b, masks)
 
     total_press = np.zeros(n_u_max)
@@ -237,7 +240,7 @@ def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
 
 def evaluate_ic_batched(y, d, ref, ic: str, *, key=None, seed: int = 1,
                         iter1: int, iter2: int, tol: float,
-                        n_u_max: int = 25):
+                        n_u_max: int = 25, tol_relative: bool = False):
     """AIC/BIC sweep over n_u = 1..n_u_max with ONE compile + dispatch.
 
     Returns (best_u, best_alpha, best_n_u, list_ic) like
@@ -253,7 +256,7 @@ def evaluate_ic_batched(y, d, ref, ic: str, *, key=None, seed: int = 1,
     n_ct = 0 if ref is None else ref.shape[1]
     u_b, alpha_b, costs, _ = batched_rank_sweep(
         y, d, ref, n_u_max=n_u_max, key=key, iter1=iter1, iter2=iter2,
-        tol=tol)
+        tol=tol, tol_relative=tol_relative)
     costs = np.asarray(costs, dtype=np.float64)
 
     fn = compute_bic if ic == "BIC" else compute_aic

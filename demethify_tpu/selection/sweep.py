@@ -78,6 +78,7 @@ def _ccc_restart_alphas(y, d, ref, n_u, init_option, key, n_restarts,
 def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
                      key=None, seed: int = 1,
                      iter1: int, iter2: int, tol: float,
+                     tol_relative: bool = False,
                      n_restarts: int = 5, n_u_max: int = 25,
                      progress: bool = False):
     """Returns (best_u, best_alpha, best_n_u, list_ic)."""
@@ -101,14 +102,17 @@ def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
         if ic in ("AIC", "BIC"):
             return bs.evaluate_ic_batched(y, d, ref, ic, key=key,
                                           iter1=iter1, iter2=iter2,
-                                          tol=tol, n_u_max=n_u_max)
+                                          tol=tol, n_u_max=n_u_max,
+                                          tol_relative=tol_relative)
         if ic == "CCC":
             return bs.batched_ccc_sweep(y, d, ref, n_u_max=n_u_max,
                                         n_restarts=n_restarts, key=key,
-                                        iter1=iter1, iter2=iter2, tol=tol)
+                                        iter1=iter1, iter2=iter2, tol=tol,
+                                        tol_relative=tol_relative)
         return bs.batched_bcv_sweep(y, d, ref, n_u_max=n_u_max,
                                     n_folds=n_restarts, key=key,
-                                    iter1=iter1, iter2=iter2, tol=tol)
+                                    iter1=iter1, iter2=iter2, tol=tol,
+                                    tol_relative=tol_relative)
 
     if ic == "minka":
         best_n_u, minka_result = select_rank_minka(

@@ -33,6 +33,15 @@ from demethify_tpu.solvers.unsupervised import unsupervised_solve
 _DETERMINISTIC_INITS = ("SVD", "ICA")
 
 
+def _is_deterministic(init, n_u, n_samples, init_provided):
+    # SVD/ICA inits are deterministic EXCEPT when n_u > n_samples
+    # forces the silent fallback to random uniform_ (solvers/init.py)
+    # -- restarts are meaningful again in that case
+    if init_provided is not None:
+        return True
+    return init in _DETERMINISTIC_INITS and n_u <= n_samples
+
+
 @dataclass
 class DeconvolutionResult:
     """u: (n_cpg, n_u) unknown profiles (None for supervised);
@@ -48,7 +57,10 @@ class DeconvolutionResult:
 
 
 def _select_best(u_b, alpha_b, info_b):
+    # NaN-proof: a diverged restart (NaN cost) must never win (matches
+    # the reference's strict `<` update, demethify.py:171)
     costs = info_b["cost"]
+    costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
     best = jnp.argmin(costs)
     return (u_b[best], alpha_b[best],
             {"cost": costs[best], "n_iter": info_b["n_iter"][best],
@@ -104,7 +116,7 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
                                  tol_relative=tol_relative,
                                  record_trace=record_trace)
 
-    det = init in _DETERMINISTIC_INITS or init_provided is not None
+    det = _is_deterministic(init, n_u, y.shape[1], init_provided)
     u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det)
     return DeconvolutionResult(u=u, proportions=alpha,
                                cost=float(info["cost"]),
@@ -138,7 +150,7 @@ def purity_deconv(y, d, R_trunc, n_u: int, purity, *,
                             tol_relative=tol_relative,
                             record_trace=record_trace)
 
-    det = init in _DETERMINISTIC_INITS or init_provided is not None
+    det = _is_deterministic(init, n_u, y.shape[1], init_provided)
     u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det)
     return DeconvolutionResult(u=u, proportions=alpha,
                                cost=float(info["cost"]),
@@ -173,7 +185,7 @@ def unsupervised_deconv(y, d, n_u: int, *,
                                   tol_relative=tol_relative,
                                   record_trace=record_trace)
 
-    det = init in _DETERMINISTIC_INITS or init_provided is not None
+    det = _is_deterministic(init, n_u, y.shape[1], init_provided)
     u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det)
     return DeconvolutionResult(u=u, proportions=alpha,
                                cost=float(info["cost"]),

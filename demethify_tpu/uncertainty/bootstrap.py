@@ -42,7 +42,8 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                  purity=None,
                  key=None, seed: int = 1,
                  batch_size: int = 256,
-                 n_rows=None):
+                 n_rows=None,
+                 tol_relative: bool = False):
     """Returns (lower_props, upper_props, lower_u, upper_u); the u bounds
     are None in supervised mode (n_u == 0)."""
     from demethify_tpu.ops.nnls import wls_intercept_batch
@@ -66,24 +67,27 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
 
     def one_replicate(k):
         k_idx, k_init = jax.random.split(k)
-        idx = jax.random.randint(k_idx, (n_cpg,), 0, n_sample_rows)
+        # replicate size == number of REAL rows (n_cpg may be padded)
+        idx = jax.random.randint(k_idx, (n_sample_rows,), 0,
+                                 n_sample_rows)
         yb = y[idx]
         db = d[idx]
         refb = ref[idx]
         if supervised:
             props = wls_intercept_batch(db * yb, db, refb)
-            return props, jnp.zeros((n_cpg, 0), y.dtype)
+            return props, jnp.zeros((n_sample_rows, 0), y.dtype)
         if purity is not None:
             u0, a0 = init_purity(k_init, init_option, yb, db, refb, n_u,
                                  purity)
             u, alpha, _ = purity_solve(u0, a0, yb, db, refb, purity, n_u,
                                        n_iter1=n_iter1, n_iter2=n_iter2,
-                                       tol=tol)
+                                       tol=tol, tol_relative=tol_relative)
         else:
             u0, a0 = init_partial(k_init, init_option, yb, db, refb, n_u)
             u, alpha, _ = partial_ref_solve(u0, a0, yb, db, refb, n_u,
                                             n_iter1=n_iter1,
-                                            n_iter2=n_iter2, tol=tol)
+                                            n_iter2=n_iter2, tol=tol,
+                                            tol_relative=tol_relative)
         return alpha, u
 
     batched = jax.jit(jax.vmap(one_replicate))

@@ -54,9 +54,12 @@ class TestCSVReaders:
 class TestWriters:
     def test_proportions_format(self, tmp_path):
         props = np.array([[0.6, 0.3], [0.4, 0.7]])
-        path = write_proportions(str(tmp_path), props, ["A", "B"],
-                                 ["s1.bed", "s2.bed"])
-        df = pd.read_csv(path, index_col=0)
+        returned = write_proportions(str(tmp_path), props, ["A", "B"],
+                                     ["s1.bed", "s2.bed"])
+        assert returned.index.name == "Cell types"
+        df = pd.read_csv(os.path.join(tmp_path,
+                                      "celltypes_proportions.csv"),
+                         index_col=0)
         assert df.index.name == "Cell types"
         assert list(df.columns) == ["s1.bed", "s2.bed"]
         np.testing.assert_allclose(df.values, props)

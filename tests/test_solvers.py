@@ -193,3 +193,25 @@ class TestAPI:
         assert r.u is not None and r.u.shape[1] == 1
         r = deconvolve(y, d, n_u=2, n_iter1=5, n_iter2=3)
         assert r.proportions.shape[0] == 2
+
+
+class TestReviewRegressions:
+    """Regressions for the code-review findings."""
+
+    def test_nan_restart_never_wins(self):
+        import jax.numpy as jnp
+        from demethify_tpu.solvers.api import _select_best
+        u_b = jnp.zeros((3, 4, 1))
+        a_b = jnp.zeros((3, 2, 2))
+        info = {"cost": jnp.asarray([1.0, jnp.nan, 0.5]),
+                "n_iter": jnp.asarray([5, 5, 5]),
+                "trace": jnp.zeros((3, 0))}
+        _, _, best = _select_best(u_b, a_b, info)
+        assert float(best["cost"]) == 0.5
+
+    def test_svd_fallback_counts_as_random(self):
+        from demethify_tpu.solvers.api import _is_deterministic
+        assert _is_deterministic("SVD", 2, 10, None)
+        assert not _is_deterministic("SVD", 12, 10, None)  # fallback
+        assert not _is_deterministic("uniform_", 1, 10, None)
+        assert _is_deterministic("uniform_", 1, 10, ("u", "a"))
