@@ -1,0 +1,204 @@
+"""Pallas kernels for the LATENCY-bound small-tensor inner loops.
+
+The alpha FISTA loop and the Frank-Wolfe loop operate on O(p^2 n_s) data
+(p ~ 6-30, n_s ~ 10) but execute 20-500 sequential steps of ~5-8 XLA ops
+each; on TPU every op is a separate on-device kernel issue (~1-2 us), so
+the loops cost 0.17 ms (FISTA x20) to ~4 ms (FW x500) per outer iteration
+while touching kilobytes. These kernels run the ENTIRE loop inside one
+Pallas program — everything stays in VMEM/registers, one launch total.
+
+Math is identical to ops/fista.fista_alpha_gram and
+ops/frank_wolfe.frank_wolfe_gram (tests require exact trajectory parity in
+interpret mode). Off-TPU they run interpreted.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _project_cols(v, p):
+    """Columns of v (p, n) onto the simplex — rank-matrix form (exactly
+    ops.simplex.project_columns_to_simplex; sort-free, VPU-only)."""
+    gt = (v[:, None, :] > v[None, :, :]).astype(v.dtype)
+    eq = (v[:, None, :] == v[None, :, :]).astype(v.dtype)
+    lower = jnp.tril(jnp.ones((p, p), v.dtype), k=-1)
+    rank = jnp.sum(gt, axis=0) + jnp.sum(lower[:, :, None] * eq, axis=0)
+    # tpu.iota only produces integers; convert afterwards
+    iota_p11 = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1),
+                                        0).astype(v.dtype)
+    perm = (rank[None, :, :] == iota_p11).astype(v.dtype)
+    u = jnp.sum(perm * v[None, :, :], axis=1)
+    tri = jnp.tril(jnp.ones((p, p), v.dtype))
+    pi = jax.lax.dot_general(tri, u, (((1,), (0,)), ((), ())),
+                             preferred_element_type=v.dtype) - 1.0
+    j1 = (jax.lax.broadcasted_iota(jnp.int32, (p, 1),
+                                   0).astype(v.dtype) + 1.0)
+    cond = (u - pi / j1) > 0
+    idx = jnp.where(cond, jax.lax.broadcasted_iota(jnp.int32, u.shape, 0),
+                    -1)
+    rho = jnp.max(idx, axis=0)
+    rho_onehot = (jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+                  == rho[None, :]).astype(v.dtype)
+    theta = jnp.sum(pi * rho_onehot, axis=0) / (rho + 1).astype(v.dtype)
+    return jnp.maximum(v - theta[None, :], 0.0)
+
+
+def _grad_from_grams(g_ref, b, a_t, p, n_s):
+    """grad = b - G a_t per sample, unrolled over the tiny sample axis."""
+    cols = []
+    for s in range(n_s):
+        G_s = g_ref[s]
+        at_s = a_t[:, s:s + 1]
+        cols.append(b[:, s:s + 1] - jax.lax.dot_general(
+            G_s, at_s, (((1,), (0,)), ((), ())),
+            preferred_element_type=a_t.dtype))
+    return jnp.concatenate(cols, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# alpha FISTA loop
+# ---------------------------------------------------------------------------
+
+def _alpha_kernel(scal_ref, g_ref, b_ref, a_ref, ap_ref,
+                  a_out_ref, ap_out_ref, *, n_steps, p, n_s, row_mask_ref):
+    l_h = scal_ref[0, 0]
+    a0_init = scal_ref[0, 1]
+    l_h_prev0 = scal_ref[0, 2]
+    b = b_ref[:]
+
+    def body(_, carry):
+        alpha, ap, a, l_prev = carry
+        a0 = a
+        a2 = (1.0 + jnp.sqrt(1.0 + 4.0 * a0 * a0)) / 2.0
+        beta = jnp.minimum((a0 - 1.0) / a2,
+                           0.9999 * jnp.sqrt(l_prev / l_h))
+        a_t = alpha + beta * (alpha - ap)
+        grad = _grad_from_grams(g_ref, b, a_t, p, n_s)
+        v = a_t + grad / l_h
+        if row_mask_ref is not None:
+            v = jnp.where(row_mask_ref[:] > 0, v, -1e30)
+        a_new = _project_cols(v, p)
+        return (a_new, alpha, a2, l_h)
+
+    alpha, ap, _, _ = jax.lax.fori_loop(
+        0, n_steps, body, (a_ref[:], ap_ref[:], a0_init, l_h_prev0))
+    a_out_ref[:] = alpha
+    ap_out_ref[:] = ap
+
+
+def alpha_phase(G, b, alpha, alpha_prev, a, l_h_prev, l_h, n_steps: int,
+                row_mask=None):
+    """Whole alpha FISTA inner loop in one kernel launch.
+
+    Same carry convention as fista_alpha_gram: returns
+    (alpha, alpha_prev, a_new, l_h_prev_new).
+    """
+    p, n_s = alpha.shape
+    dtype = alpha.dtype
+    scal = jnp.reshape(jnp.stack([l_h.astype(dtype), a.astype(dtype),
+                                  l_h_prev.astype(dtype)]), (1, 3))
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((1, 3), memory_space=pltpu.SMEM),
+                full(G.shape), full(b.shape), full(alpha.shape),
+                full(alpha.shape)]
+    args = [scal, G.astype(dtype), b.astype(dtype), alpha, alpha_prev]
+    if row_mask is not None:
+        in_specs.append(full((p, 1)))
+        args.append(row_mask.astype(dtype).reshape(p, 1))
+
+        def kern(scal_ref, g_ref, b_ref, a_ref, ap_ref, mask_ref,
+                 a_out_ref, ap_out_ref):
+            _alpha_kernel(scal_ref, g_ref, b_ref, a_ref, ap_ref,
+                          a_out_ref, ap_out_ref, n_steps=n_steps, p=p,
+                          n_s=n_s, row_mask_ref=mask_ref)
+    else:
+        kern = functools.partial(_alpha_kernel, n_steps=n_steps, p=p,
+                                 n_s=n_s, row_mask_ref=None)
+
+    a_new, ap_new = pl.pallas_call(
+        kern,
+        in_specs=in_specs,
+        out_specs=[full(alpha.shape)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(alpha.shape, dtype)] * 2,
+        interpret=_interpret(),
+    )(*args)
+
+    def scal_body(_, carry):
+        a, l_prev = carry
+        return ((1.0 + jnp.sqrt(1.0 + 4.0 * a * a)) / 2.0, l_h)
+
+    a_out, l_h_prev_out = jax.lax.fori_loop(0, n_steps, scal_body,
+                                            (a, l_h_prev))
+    return a_new, ap_new, a_out, l_h_prev_out
+
+
+# ---------------------------------------------------------------------------
+# Frank-Wolfe loop
+# ---------------------------------------------------------------------------
+
+def _fw_kernel(g_ref, b_ref, a_ref, pur_ref, a_out_ref, *, n_steps, p,
+               p1, n_s):
+    b = b_ref[:]
+    purity = pur_ref[:]                      # (1, n_s)
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, n_s), 0)
+    in_known = (row < p1)
+
+    def body(k, alpha):
+        grad = -_grad_from_grams(g_ref, b, alpha, p, n_s)  # = G a - b
+        big = jnp.asarray(3.4e38, grad.dtype)
+        g1 = jnp.where(in_known, grad, big)
+        g2 = jnp.where(in_known, big, grad)
+        m1 = jnp.min(g1, axis=0, keepdims=True)
+        m2 = jnp.min(g2, axis=0, keepdims=True)
+        # one-hot of the per-column argmin within each block (ties: the
+        # smallest row index, matching jnp.argmin)
+        # cumsum has no Mosaic lowering; inclusive prefix-sum via a
+        # triangular matmul over the tiny row axis instead
+        tri = jnp.tril(jnp.ones((p, p), grad.dtype))
+        is1 = (g1 == m1).astype(grad.dtype)
+        csum1 = jax.lax.dot_general(tri, is1, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=grad.dtype)
+        first1 = (csum1 * is1) == 1.0
+        is2 = (g2 == m2).astype(grad.dtype)
+        csum2 = jax.lax.dot_general(tri, is2, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=grad.dtype)
+        first2 = (csum2 * is2) == 1.0
+        s = (first1.astype(grad.dtype) * purity
+             + first2.astype(grad.dtype) * (1.0 - purity))
+        gamma = 2.0 / (k.astype(grad.dtype) + 2.0)
+        return (1.0 - gamma) * alpha + gamma * s
+
+    a_out_ref[:] = jax.lax.fori_loop(0, n_steps, body, a_ref[:])
+
+
+def fw_phase(G, b, alpha1, alpha2, purity, n_steps: int):
+    """Whole Frank-Wolfe loop in one kernel launch. Same semantics as
+    frank_wolfe_gram: returns (alpha1, alpha2)."""
+    p1 = alpha1.shape[0]
+    alpha = jnp.concatenate([alpha1, alpha2], axis=0)
+    p, n_s = alpha.shape
+    dtype = alpha.dtype
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fw_kernel, n_steps=n_steps, p=p, p1=p1,
+                          n_s=n_s),
+        in_specs=[full(G.shape), full(b.shape), full(alpha.shape),
+                  full((1, n_s))],
+        out_specs=full(alpha.shape),
+        out_shape=jax.ShapeDtypeStruct(alpha.shape, dtype),
+        interpret=_interpret(),
+    )(G.astype(dtype), b.astype(dtype), alpha,
+      purity.astype(dtype).reshape(1, n_s))
+    return out[:p1], out[p1:]
