@@ -181,3 +181,50 @@ class TestDeterminism:
         with pytest.raises(SystemExit):
             _run(tmp_path, "--ref", REF, "--nbunknown", "1",
                  "--purity", "60", "70")  # 10 samples, 2 purity values
+
+
+class TestRemainingCLIPaths:
+    def test_minka_via_cli(self, tmp_path):
+        _run(tmp_path, "--ref", REF, "--ic", "minka",
+             "--iterations", "100", "10")
+        log = (tmp_path / "log.log").read_text()
+        assert "minka" in log
+
+    def test_bcv_via_cli(self, tmp_path):
+        _run(tmp_path, "--ref", REF, "--ic", "BCV", "3", "--icmax", "2",
+             "--iterations", "50", "5")
+        log = (tmp_path / "log.log").read_text()
+        assert "BCV" in log
+
+    def test_svd_init_via_cli(self, tmp_path):
+        _run(tmp_path, "--ref", REF, "--nbunknown", "1", "--init", "SVD",
+             "--iterations", "100", "10")
+        got = _read_props(tmp_path / "celltypes_proportions.csv")
+        np.testing.assert_allclose(got.values.sum(axis=0), 1.0, atol=1e-8)
+
+    def test_ica_init_via_cli(self, tmp_path):
+        _run(tmp_path, "--ref", REF, "--nbunknown", "1", "--init", "ICA",
+             "--iterations", "50", "5")
+        got = _read_props(tmp_path / "celltypes_proportions.csv")
+        np.testing.assert_allclose(got.values.sum(axis=0), 1.0, atol=1e-8)
+
+    def test_purity_with_confidence(self, tmp_path):
+        unknown = [0.4, 0.2, 0.1, 0.8, 0.5, 0.1, 0.0, 0.7, 0.5, 0.9]
+        purities = [str(100 * u) for u in unknown]
+        _run(tmp_path, "--ref", REF, "--nbunknown", "1",
+             "--purity", *purities, "--confidence", "90", "6",
+             "--iterations", "20", "30")
+        ci = pd.read_csv(
+            tmp_path / "confidence_interval_celltypes_proportions.csv",
+            index_col=0)
+        assert ci.shape == (6, 10)
+        # the purity constraint pins the unknown mass, so its CI is
+        # (nearly) degenerate at p/100
+        lo, hi = eval(ci.iloc[-1, 0])
+        assert abs(lo - 0.4) < 0.05 and abs(hi - 0.4) < 0.05
+
+    def test_restart_via_cli(self, tmp_path):
+        _run(tmp_path, "--ref", REF, "--nbunknown", "1", "--restart", "4",
+             "--iterations", "50", "10")
+        got = _read_props(tmp_path / "celltypes_proportions.csv")
+        assert got.shape == (6, 10)
