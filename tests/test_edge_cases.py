@@ -1,0 +1,80 @@
+"""Pathological inputs: zero coverage, constant data, single sample,
+degenerate shapes — solver must stay finite and feasible."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from demethify_tpu.solvers.api import (
+    partial_reference_deconv,
+    supervised_deconv,
+    unsupervised_deconv,
+)
+
+
+def _mk(rng, n_cpg=100, n_s=4, n_ct=3, n_u=1):
+    Rt = rng.uniform(size=(n_cpg, n_ct))
+    a = rng.dirichlet(np.ones(n_ct + n_u), size=n_s).T
+    u = rng.uniform(size=(n_cpg, n_u))
+    y = np.clip(np.hstack([Rt, u]) @ a, 0, 1)
+    d = rng.poisson(30, size=(n_cpg, n_s)).astype(float) + 1
+    return y, d, Rt
+
+
+class TestEdgeCases:
+    def test_zero_coverage_rows(self, rng):
+        y, d, Rt = _mk(rng)
+        d[:20] = 0.0  # sites with no reads — weight 0, must be inert
+        res = partial_reference_deconv(
+            jnp.asarray(y), jnp.asarray(d), jnp.asarray(Rt), 1,
+            n_iter1=30, n_iter2=5, seed=0)
+        props = np.asarray(res.proportions)
+        assert np.isfinite(props).all()
+        np.testing.assert_allclose(props.sum(axis=0), 1.0, atol=1e-6)
+
+    def test_zero_coverage_sample(self, rng):
+        y, d, Rt = _mk(rng)
+        d[:, 1] = 0.0  # an entirely unread sample
+        res = partial_reference_deconv(
+            jnp.asarray(y), jnp.asarray(d), jnp.asarray(Rt), 1,
+            n_iter1=20, n_iter2=5, seed=0)
+        props = np.asarray(res.proportions)
+        assert np.isfinite(props).all()
+
+    def test_constant_methylation(self, rng):
+        y, d, Rt = _mk(rng)
+        y[:] = 0.5
+        res = partial_reference_deconv(
+            jnp.asarray(y), jnp.asarray(d), jnp.asarray(Rt), 1,
+            n_iter1=20, n_iter2=5, seed=0)
+        assert np.isfinite(np.asarray(res.proportions)).all()
+
+    def test_single_sample(self, rng):
+        y, d, Rt = _mk(rng, n_s=1)
+        res = partial_reference_deconv(
+            jnp.asarray(y), jnp.asarray(d), jnp.asarray(Rt), 1,
+            n_iter1=20, n_iter2=5, seed=0)
+        assert res.proportions.shape == (4, 1)
+
+    def test_single_cpg_row(self, rng):
+        y, d, Rt = _mk(rng, n_cpg=1)
+        res = supervised_deconv(jnp.asarray(y), jnp.asarray(d),
+                                jnp.asarray(Rt))
+        assert np.isfinite(np.asarray(res.proportions)).all()
+
+    def test_extreme_y_bounds(self, rng):
+        y, d, Rt = _mk(rng)
+        y[:10] = 0.0
+        y[10:20] = 1.0
+        res = unsupervised_deconv(jnp.asarray(y), jnp.asarray(d), 2,
+                                  n_iter1=20, n_iter2=5, seed=0)
+        u = np.asarray(res.u)
+        assert (u >= 0).all() and (u <= 1).all()
+
+    def test_supervised_zero_weights_everywhere(self, rng):
+        # all-zero weights: NNLS has no signal; result must not be NaN
+        y, d, Rt = _mk(rng)
+        d[:] = 0.0
+        res = supervised_deconv(jnp.asarray(y), jnp.asarray(d),
+                                jnp.asarray(Rt))
+        assert np.isfinite(np.asarray(res.proportions)).all()
