@@ -2,8 +2,13 @@
 
 Workload: 1M CpG sites x 10 samples, 5 known cell types + 1 unknown —
 megabase-scale version of the reference's fixture workload
-(`test/output_partial_ref`, 10000/20 iterations). Fixed 200 outer x 20
-inner iterations (tol=0 so both implementations do identical work).
+(`test/output_partial_ref`, 10000/20 iterations). Fixed 1000 outer x 20
+inner iterations (tol=0 so both implementations do identical work; the
+long run amortizes the remote-dispatch latency of this dev image's
+tunneled TPU, which would otherwise dominate a sub-100ms solve).
+
+Measures the default TPU path: the Pallas megakernel solver
+(solvers/fused.py) — one HBM pass per outer iteration.
 
 Baseline: the reference implementation's dataflow (NumPy, same update
 math — the reference's Numba kernels delegate these matmuls to BLAS, so
@@ -25,7 +30,7 @@ N_CPG = 1_000_000
 N_S = 10
 N_CT = 5
 N_U = 1
-N_OUTER = 200
+N_OUTER = 1000
 N_INNER = 20
 BASELINE_OUTER = 3  # numpy iterations actually timed, scaled to N_OUTER
 
@@ -58,16 +63,18 @@ def numpy_reference_seconds(y, d, Rt, u0, a0):
 
 def device_seconds(y, d, Rt, u0, a0):
     import jax
-    import jax.numpy as jnp
 
+    from demethify_tpu.solvers.fused import partial_ref_solve_fused
     from demethify_tpu.solvers.partial_ref import partial_ref_solve
 
+    solver = (partial_ref_solve_fused
+              if jax.default_backend() == "tpu" else partial_ref_solve)
     args = [jax.device_put(x) for x in (u0, a0, y, d, Rt)]
     jax.block_until_ready(args)
 
     def run():
-        out = partial_ref_solve(*args, N_U, n_iter1=N_OUTER,
-                                n_iter2=N_INNER, tol=0.0)
+        out = solver(*args, N_U, n_iter1=N_OUTER,
+                     n_iter2=N_INNER, tol=0.0)
         return float(out[2]["cost"])
 
     run()  # compile + warm
@@ -95,7 +102,7 @@ def main():
     sites_per_s = N_CPG * N_OUTER / t_dev
     print(json.dumps({
         "metric": "CpG-site-iterations/s/chip (partial-ref solver loop, "
-                  "1M sites x 10 samples, 200x20 iters)",
+                  "1M sites x 10 samples, 1000x20 iters)",
         "value": round(sites_per_s, 1),
         "unit": "site-iters/s",
         "vs_baseline": round(t_cpu / t_dev, 2),

@@ -13,9 +13,16 @@ golden-section refinement (finds an at-least-as-good minimum of the same
 objective); the outer search is a `lax.while_loop`. The rotation updates only
 the two affected rows of W and Y (no n x n Givens matmul).
 
-Note: like the reference, this whitens the (n_cpg x n_cpg) row covariance,
-so it is only practical for feature-selected panels (thousands of CpGs) —
-callers should prefer 'SVD' or 'uniform_' init at genome scale.
+Note: like the reference, `run_nn_ica` whitens the (n_cpg x n_cpg) row
+covariance, so it is only practical for feature-selected panels (thousands
+of CpGs). `run_nn_ica_dual` is the genome-scale variant: since
+rank(X) <= n_samples, it first projects the rows onto the exact
+column-space basis from the sharded tall-skinny SVD (ops/tall_svd.py — one
+psum-reducible Gram pass over the CpG shards), runs the identical
+whiten + Givens-torque search in the (n_samples x n_samples) coefficient
+space, and maps the found components back through the basis. Solver init
+auto-switches to the dual form above `ICA_DUAL_THRESHOLD` rows
+(solvers/init.py).
 """
 
 from functools import partial
@@ -79,12 +86,15 @@ def whiten(X, epsilon: float = 1e-8):
     return V @ X
 
 
-@partial(jax.jit, static_argnames=("rank", "i_max"))
-def run_nn_ica(X, rank: int, t_tol: float = 1e-1, i_max: int = 1000):
-    """Returns (clip(W[:, :rank], 0, 1), H[:rank, :]) like the reference."""
-    n_features = X.shape[0]
-    Z = whiten(X)
-    W0 = jnp.eye(n_features, dtype=X.dtype)
+def _rotation_search(Z, t_tol: float, i_max: int):
+    """Torque-driven Givens rotation search on whitened rows Z.
+
+    Returns the accumulated rotation W (n_features x n_features) such that
+    W @ Z minimizes the negativity loss (greedy pairwise descent,
+    reference `init_func.py:128-162`).
+    """
+    n_features = Z.shape[0]
+    W0 = jnp.eye(n_features, dtype=Z.dtype)
     Y0 = Z
 
     def torque(Y):
@@ -123,21 +133,61 @@ def run_nn_ica(X, rank: int, t_tol: float = 1e-1, i_max: int = 1000):
 
     t0, _, _ = torque(Y0)
     W, Y, _, _ = jax.lax.while_loop(cond, body, (W0, Y0, 0, t0))
+    return W
+
+
+@partial(jax.jit, static_argnames=("rank", "i_max"))
+def run_nn_ica(X, rank: int, t_tol: float = 1e-1, i_max: int = 1000):
+    """Returns (clip(W[:, :rank], 0, 1), H[:rank, :]) like the reference."""
+    Z = whiten(X)
+    W = _rotation_search(Z, t_tol, i_max)
     H = jnp.maximum(W @ Z, 0.0)
     return jnp.clip(W[:, :rank], 0.0, 1.0), H[:rank, :]
 
 
+@partial(jax.jit, static_argnames=("rank", "i_max"))
+def run_nn_ica_dual(X, rank: int, t_tol: float = 1e-1, i_max: int = 1000):
+    """Genome-scale NN-ICA: rotation search in the column-space dual.
+
+    X (n_cpg x n_s) has rank <= n_s, so its rows live in the span of the
+    top-n_s left singular vectors B (n_cpg x k, k = min(n_cpg, n_s)) from
+    the sharded tall-skinny SVD. The reference algorithm's whitening and
+    torque search act only on data directions; running them on the exact
+    coefficient matrix S = B' X (k x n_s) is the same computation
+    restricted to the span (the full-space form additionally amplifies
+    numerical null-space noise through the epsilon-clamped inverse sqrt —
+    a reference quirk that cannot survive at genome scale anyway).
+    Components map back through B; same return convention as run_nn_ica,
+    with profiles clipped to [0, 1].
+
+    Cost: two sharded passes over X (Gram + projection) + O(n_s^3) host-
+    scale math — usable at tens of millions of CpG rows.
+    """
+    from demethify_tpu.ops.tall_svd import tall_svd
+
+    B, _, _ = tall_svd(X)                     # (n_cpg, k) orthonormal
+    S = B.T @ X                               # (k, n_s) exact coefficients
+    Z = whiten(S)
+    W = _rotation_search(Z, t_tol, i_max)
+    H = jnp.maximum(W @ Z, 0.0)
+    profiles = B @ W[:, :rank]                # back to CpG space
+    return jnp.clip(profiles, 0.0, 1.0), H[:rank, :]
+
+
 def constrained_nn_ica(Y, W1, counts, rank: int, t_tol: float = 1e-1,
-                       i_max: int = 1000):
+                       i_max: int = 1000, dual: bool = False):
     """Known block fitted by WLS, NN-ICA on the clipped residual.
 
-    Reference `constrained_nn_ica` (`init_func.py:99-115`).
+    Reference `constrained_nn_ica` (`init_func.py:99-115`). With
+    ``dual=True`` the residual ICA runs in the sharded column-space dual
+    (`run_nn_ica_dual`) — the genome-scale path.
     """
     from demethify_tpu.ops.nnls import wls_intercept_batch
 
     H1 = wls_intercept_batch(Y, counts, W1)
     Y_residual = jnp.maximum(Y - W1 @ H1, 1e-8)
-    W2, H2 = run_nn_ica(Y_residual, rank=rank, t_tol=t_tol, i_max=i_max)
+    ica = run_nn_ica_dual if dual else run_nn_ica
+    W2, H2 = ica(Y_residual, rank=rank, t_tol=t_tol, i_max=i_max)
     W = jnp.concatenate([W1, W2], axis=1)
     H = jnp.concatenate([H1, H2], axis=0)
     return W, H

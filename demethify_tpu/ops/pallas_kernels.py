@@ -103,8 +103,13 @@ def _u_phase_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref, rtt_ref,
         u_new = jnp.clip(u_t + (c - mdotu) / l_w, 0.0, 1.0)
         return (u_new, u, a1n, l_w)
 
-    u, up, _, _ = jax.lax.fori_loop(
-        0, n_steps, body, (u_ref[:], up_ref[:], a0_init, l_w_prev0))
+    carry = (u_ref[:], up_ref[:], a0_init, l_w_prev0)
+    if n_steps <= 64:     # unrolled: hoists the serial scalar chain
+        for _ in range(n_steps):
+            carry = body(None, carry)
+        u, up, _, _ = carry
+    else:
+        u, up, _, _ = jax.lax.fori_loop(0, n_steps, body, carry)
     u_out_ref[:] = u
     up_out_ref[:] = up
 
@@ -192,6 +197,220 @@ def u_phase(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
     a_new, l_w_prev_new = jax.lax.fori_loop(0, n_steps, scal_body,
                                             (a, l_w_prev))
     return u_new[:, :n], up_new[:, :n], a_new, l_w_prev_new
+
+
+# ---------------------------------------------------------------------------
+# u_phase_grams: the outer-iteration megakernel — ONE HBM pass per outer
+# iteration. Per lane-tile it (a) builds C/M in VMEM, (b) runs the entire
+# n_iter2 FISTA U loop, (c) writes u/u_prev back, and (d) accumulates the
+# u-dependent Gram blocks (G_:u rows, b_u, sum u^2) with the NEW u — so the
+# alpha phase, Lipschitz refresh and Gram-identity cost need zero further
+# passes over (Y, D, R). The u-update is row-separable given alpha
+# (SURVEY.md §2b) and the Gram sums are tile-local partial sums, so the
+# fusion is exact. Big-array traffic per outer iteration: read Y, D, Rt,
+# u, u_prev once; write u, u_prev — the information-theoretic minimum for
+# the reference's update semantics (`demethify/deconvolution.py:190-223`).
+# ---------------------------------------------------------------------------
+
+MEGA_TILE = 16384
+
+
+def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
+                          rtt_ref, u_ref, up_ref,
+                          u_out_ref, up_out_ref, gu_ref, bu_ref, usq_ref,
+                          *, n_steps, n_u, lagged):
+    k = pl.program_id(0)
+    a0_init = scal_ref[0, 0]
+    l_w = scal_ref[0, 1]
+    l_w_prev0 = scal_ref[0, 2]
+
+    state_dt = u_ref.dtype
+    yt = yt_ref[:].astype(state_dt)
+    dt = dt_ref[:].astype(state_dt)
+    a2b = a2b_ref[:]                      # (n_u, n_s)
+
+    dy = dt * yt                          # reused by C and b_u
+    if rtt_ref is not None:
+        rtt = rtt_ref[:].astype(state_dt)
+        known = jax.lax.dot_general(
+            a1b_ref[:], rtt, (((0,), (0,)), ((), ())),
+            preferred_element_type=state_dt)          # (n_s, T)
+        dresid = dy - dt * known
+    else:
+        rtt = None
+        dresid = dy
+    c = jax.lax.dot_general(a2b, dresid, (((1,), (0,)), ((), ())),
+                            preferred_element_type=state_dt)  # (n_u, T)
+
+    w2 = (a2b[:, None, :] * a2b[None, :, :]).reshape(n_u * n_u,
+                                                     a2b.shape[1])
+    m = jax.lax.dot_general(w2, dt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=state_dt)
+
+    # Fold the lane axis into sublanes for the FISTA loop: a (n_u, T)
+    # array keeps only n_u of 8 VPU sublanes busy; reshaped to
+    # (n_u, 8, T/8) every elementwise step runs at full vector packing.
+    # The update is elementwise in T, so the (bijective) reshape commutes
+    # with it exactly — same trajectory, ~8x fewer VPU ops for n_u=1.
+    T = m.shape[-1]
+    SUB = 8
+    Tf = T // SUB
+    c8 = c.reshape(n_u, SUB, Tf)
+    m8 = m.reshape(n_u, n_u, SUB, Tf)
+
+    def body(_, carry):
+        u, up, a, l_prev = carry
+        a0 = a
+        a1n = (1.0 + jnp.sqrt(1.0 + 4.0 * a0 * a0)) / 2.0
+        beta = jnp.minimum((a0 - 1.0) / a1n,
+                           0.9999 * jnp.sqrt(l_prev / l_w))
+        u_t = u + beta * (u - up)
+        grad_at = u if lagged else u_t
+        mdotu = jnp.sum(m8 * grad_at[None], axis=1)   # (n_u, SUB, Tf)
+        u_new = jnp.clip(u_t + (c8 - mdotu) / l_w, 0.0, 1.0)
+        return (u_new, u, a1n, l_w)
+
+    # UNROLLED when small: each step's momentum scalar (sqrt/min) is a
+    # serial scalar-unit chain; unrolling lets Mosaic hoist the whole
+    # scalar sequence and keep the VPU busy (mirrors ops/fista._run_steps)
+    carry = (u_ref[:].reshape(n_u, SUB, Tf),
+             up_ref[:].reshape(n_u, SUB, Tf), a0_init, l_w_prev0)
+    if n_steps <= 64:
+        for _ in range(n_steps):
+            carry = body(None, carry)
+        u, up, _, _ = carry
+    else:
+        u, up, _, _ = jax.lax.fori_loop(0, n_steps, body, carry)
+    u = u.reshape(n_u, T)
+    up = up.reshape(n_u, T)
+    u_out_ref[:] = u
+    up_out_ref[:] = up
+
+    # Gram partial sums with the NEW u (padded lanes have d = y = u = 0,
+    # so they contribute nothing)
+    acc = gu_ref.dtype
+    n_s = dt.shape[0]
+    du = (dt[:, None, :] * u[None, :, :]).reshape(n_s * n_u, dt.shape[-1])
+    rhs = u if rtt is None else jnp.concatenate([rtt, u], axis=0)
+    gu_part = jax.lax.dot_general(
+        du.astype(acc), rhs.astype(acc), (((1,), (1,)), ((), ())),
+        preferred_element_type=acc).reshape(gu_ref.shape)
+    bu_part = jax.lax.dot_general(
+        u.astype(acc), dy.astype(acc), (((1,), (1,)), ((), ())),
+        preferred_element_type=acc)                       # (n_u, n_s)
+    uacc = u.astype(acc)
+    usq_part = jnp.sum(uacc * uacc, keepdims=True)
+
+    @pl.when(k == 0)
+    def _():
+        gu_ref[:] = gu_part
+        bu_ref[:] = bu_part
+        usq_ref[:] = usq_part
+
+    @pl.when(k > 0)
+    def _():
+        gu_ref[:] = gu_ref[:] + gu_part
+        bu_ref[:] = bu_ref[:] + bu_part
+        usq_ref[:] = usq_ref[:] + usq_part
+
+
+def u_phase_grams(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
+                  a, l_w, l_w_prev, n_steps: int, *, lagged: bool = False,
+                  tile: int = MEGA_TILE):
+    """Fused outer-iteration pass: full U FISTA loop + new-u Gram blocks.
+
+    Transposed operands as in `u_phase`. Returns
+    ``(ut, u_prev_t, a_new, l_w_prev_new, gu, b_u, usq)`` where
+    ``gu``: (n_s, n_u, p_r) with ``gu[s, u, q] = sum_i u_iu d_is Rext_iq``
+    over ``Rext = [Rt | u]`` (or ``[u]`` when ``rtt is None``),
+    ``b_u``: (n_u, n_s) = u' (d_s * y_s), and ``usq``: scalar sum(u*u).
+    The returned u arrays keep the caller's (unpadded) lane count.
+    """
+    n_u, n_s = a2_block.shape
+    n = yt.shape[-1]
+    yt, _ = _pad_lanes(yt, tile)
+    dt, _ = _pad_lanes(dt, tile)
+    ut, _ = _pad_lanes(ut, tile)
+    u_prev_t, _ = _pad_lanes(u_prev_t, tile)
+    npad = yt.shape[-1]
+    grid = (npad // tile,)
+
+    state_dtype = ut.dtype
+    from demethify_tpu.ops.gram import accum_dtype
+    acc = accum_dtype(yt)
+    scal = jnp.reshape(jnp.stack([a.astype(state_dtype),
+                                  l_w.astype(state_dtype),
+                                  l_w_prev.astype(state_dtype)]), (1, 3))
+
+    lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, tile), lambda k: (0, k), memory_space=pltpu.VMEM)
+    full_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda k: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+
+    has_known = rtt is not None
+    n_ct = rtt.shape[0] if has_known else 0
+    p_r = n_ct + n_u
+
+    if has_known:
+        rtt, _ = _pad_lanes(rtt, tile)
+        in_specs = [
+            pl.BlockSpec((1, 3), lambda k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            full_spec((n_ct, n_s)), full_spec((n_u, n_s)),
+            lane_spec(n_s), lane_spec(n_s), lane_spec(n_ct),
+            lane_spec(n_u), lane_spec(n_u),
+        ]
+        args = (scal, a1_block, a2_block, yt, dt, rtt, ut, u_prev_t)
+        kern = functools.partial(_u_phase_grams_kernel, n_steps=n_steps,
+                                 n_u=n_u, lagged=lagged)
+    else:
+        dummy = jnp.zeros((1, 1), state_dtype)
+        in_specs = [
+            pl.BlockSpec((1, 3), lambda k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            full_spec((1, 1)), full_spec((n_u, n_s)),
+            lane_spec(n_s), lane_spec(n_s),
+            lane_spec(n_u), lane_spec(n_u),
+        ]
+        args = (scal, dummy, a2_block, yt, dt, ut, u_prev_t)
+
+        def kern(scal_ref, _dummy, a2b_ref, yt_ref, dt_ref, u_ref,
+                 up_ref, *out_refs):
+            _u_phase_grams_kernel(scal_ref, None, a2b_ref, yt_ref, dt_ref,
+                                  None, u_ref, up_ref, *out_refs,
+                                  n_steps=n_steps, n_u=n_u, lagged=lagged)
+
+    out_specs = [lane_spec(n_u), lane_spec(n_u),
+                 full_spec((n_s, n_u, p_r)), full_spec((n_u, n_s)),
+                 full_spec((1, 1))]
+    # donate the u/u_prev buffers into the matching outputs — without
+    # this XLA inserts a copy of each (n_u, N) array every outer
+    # iteration to keep the while-loop carry intact
+    n_in = len(args)
+    u_new, up_new, gu, b_u, usq = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((n_u, npad), state_dtype),
+                   jax.ShapeDtypeStruct((n_u, npad), state_dtype),
+                   jax.ShapeDtypeStruct((n_s, n_u, p_r), acc),
+                   jax.ShapeDtypeStruct((n_u, n_s), acc),
+                   jax.ShapeDtypeStruct((1, 1), acc)],
+        input_output_aliases={n_in - 2: 0, n_in - 1: 1},
+        interpret=_interpret(),
+    )(*args)
+
+    def scal_body(_, carry):
+        a, l_prev = carry
+        a1n = (1.0 + jnp.sqrt(1.0 + 4.0 * a * a)) / 2.0
+        return (a1n, l_w)
+
+    a_new, l_w_prev_new = jax.lax.fori_loop(0, n_steps, scal_body,
+                                            (a, l_w_prev))
+    return (u_new[:, :n], up_new[:, :n], a_new, l_w_prev_new,
+            gu, b_u, usq[0, 0])
 
 
 # ---------------------------------------------------------------------------

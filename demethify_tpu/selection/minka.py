@@ -11,10 +11,17 @@ instead of the reference's double Python loop.
 
 from typing import Optional, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 from scipy.special import gammaln
 
 from demethify_tpu.ops.nnls import wls_intercept_batch
+from demethify_tpu.ops.tall_svd import tall_svd_singular_values
+
+# Residuals with up to this many rows take the exact host-side SVD; larger
+# ones use the sharded Gram-eigh spectrum (identical well above the noise
+# floor, and the only option at genome scale).
+_HOST_SVD_MAX_ROWS = 65536
 
 
 def get_log_lik_partial(cov_evals: np.ndarray, rank: int,
@@ -61,12 +68,27 @@ def select_rank_minka(Y: np.ndarray, counts: np.ndarray,
     n_features, n_samples = Y.shape
 
     if W1 is not None:
-        H1 = np.asarray(wls_intercept_batch(Y, counts, W1))
-        residual = Y - W1 @ H1
+        H1 = wls_intercept_batch(Y, counts, W1)
+        residual = jnp.asarray(Y) - jnp.asarray(W1) @ H1
     else:
-        residual = Y
+        residual = jnp.asarray(Y)
 
-    svals = np.linalg.svd(residual, compute_uv=False)
+    if n_features <= _HOST_SVD_MAX_ROWS:
+        # exact spectrum (np.linalg.svd parity with the reference,
+        # `ic.py:119`) at panel scale
+        svals = np.linalg.svd(np.asarray(residual), compute_uv=False)
+    else:
+        # Sharded tall-skinny spectrum: one psum-reducible Gram pass over
+        # the CpG rows (ops/tall_svd.py) — the residual never leaves the
+        # device(s). The Gram eigendecomposition has a ~sqrt(eps)*s_max
+        # noise floor; singular values below it are indistinguishable
+        # from zero and are clamped so Minka's -inf cutoff for exactly
+        # rank-deficient spectra (`ic.py:139-140` analog) still fires.
+        svals = np.asarray(tall_svd_singular_values(residual))
+        floor = np.sqrt(np.finfo(np.asarray(svals).dtype).eps)
+        svals = np.where(svals < 2.0 * floor * svals.max(initial=0.0),
+                         0.0, svals)
+    svals = svals[:min(n_features, n_samples)]
     cov_evals = svals ** 2 / n_samples
 
     ranks = np.arange(1, len(svals))

@@ -29,8 +29,24 @@ from demethify_tpu.solvers.init import (
 from demethify_tpu.solvers.partial_ref import partial_ref_solve
 from demethify_tpu.solvers.purity import purity_solve
 from demethify_tpu.solvers.unsupervised import unsupervised_solve
+from demethify_tpu.solvers import fused
 
 _DETERMINISTIC_INITS = ("SVD", "ICA")
+
+
+def _use_fused(y) -> bool:
+    """The Pallas megakernel path (solvers/fused.py) is the default on a
+    single TPU device: one HBM pass per outer iteration, ~2.6x the XLA
+    Gram-form solver at 1M sites. Sharded inputs keep the XLA path (its
+    Gram reductions lower to psum over the mesh; pallas_call does not
+    auto-partition), as do vmapped restart batches and non-TPU backends
+    (interpret mode is for tests, not speed)."""
+    if jax.default_backend() != "tpu":
+        return False
+    sharding = getattr(y, "sharding", None)
+    if sharding is not None and len(sharding.device_set) > 1:
+        return False
+    return True
 
 
 def _is_deterministic(init, n_u, n_samples, init_provided):
@@ -67,11 +83,16 @@ def _select_best(u_b, alpha_b, info_b):
              "trace": info_b["trace"][best]})
 
 
-def _restarts(key, n_restarts, init_fn, solve_fn, deterministic_init):
-    """Run init+solve for n_restarts keys as one vmapped computation."""
+def _restarts(key, n_restarts, init_fn, solve_fn, deterministic_init,
+              solve_fn_single=None):
+    """Run init+solve for n_restarts keys as one vmapped computation.
+
+    ``solve_fn_single`` (e.g. the fused Pallas solver) is used for the
+    unbatched path; the vmapped restart batch always uses ``solve_fn``.
+    """
     if deterministic_init or n_restarts == 1:
         u0, a0 = init_fn(key)
-        u, alpha, info = solve_fn(u0, a0)
+        u, alpha, info = (solve_fn_single or solve_fn)(u0, a0)
         return u, alpha, info
     keys = jax.random.split(key, n_restarts)
     u0_b, a0_b = jax.vmap(init_fn)(keys)
@@ -116,8 +137,17 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
                                  tol_relative=tol_relative,
                                  record_trace=record_trace)
 
+    solve_single = None
+    if _use_fused(y):
+        def solve_single(u0, a0):
+            return fused.partial_ref_solve_fused(
+                u0, a0, y, d, R_trunc, n_u,
+                n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                tol_relative=tol_relative, record_trace=record_trace)
+
     det = _is_deterministic(init, n_u, y.shape[1], init_provided)
-    u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det)
+    u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det,
+                               solve_fn_single=solve_single)
     return DeconvolutionResult(u=u, proportions=alpha,
                                cost=float(info["cost"]),
                                n_iter=int(info["n_iter"]),
@@ -150,8 +180,17 @@ def purity_deconv(y, d, R_trunc, n_u: int, purity, *,
                             tol_relative=tol_relative,
                             record_trace=record_trace)
 
+    solve_single = None
+    if _use_fused(y):
+        def solve_single(u0, a0):
+            return fused.purity_solve_fused(
+                u0, a0, y, d, R_trunc, purity, n_u,
+                n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                tol_relative=tol_relative, record_trace=record_trace)
+
     det = _is_deterministic(init, n_u, y.shape[1], init_provided)
-    u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det)
+    u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det,
+                               solve_fn_single=solve_single)
     return DeconvolutionResult(u=u, proportions=alpha,
                                cost=float(info["cost"]),
                                n_iter=int(info["n_iter"]),
@@ -185,8 +224,17 @@ def unsupervised_deconv(y, d, n_u: int, *,
                                   tol_relative=tol_relative,
                                   record_trace=record_trace)
 
+    solve_single = None
+    if _use_fused(y):
+        def solve_single(u0, a0):
+            return fused.unsupervised_solve_fused(
+                u0, a0, y, d, n_u,
+                n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                tol_relative=tol_relative, record_trace=record_trace)
+
     det = _is_deterministic(init, n_u, y.shape[1], init_provided)
-    u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det)
+    u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det,
+                               solve_fn_single=solve_single)
     return DeconvolutionResult(u=u, proportions=alpha,
                                cost=float(info["cost"]),
                                n_iter=int(info["n_iter"]),

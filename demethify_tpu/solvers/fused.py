@@ -1,15 +1,26 @@
-"""Pallas-fused solver variants: transposed state, one HBM pass per phase.
+"""Pallas-fused solver variants: ONE HBM pass per outer iteration.
 
 Same math and termination as solvers/partial_ref.py & friends, but the
 while_loop state keeps the big arrays TRANSPOSED ((n_s|p|n_u) x n_cpg,
-CpG on TPU lanes) and each outer iteration runs exactly two fused passes:
+CpG on TPU lanes) and each outer iteration is a single
+`ops.pallas_kernels.u_phase_grams` megakernel pass that
 
-  1. ops.pallas_kernels.u_phase — builds C/M per tile in VMEM and runs the
-     whole n_iter2 FISTA loop without touching HBM;
-  2. ops.pallas_kernels.grams  — one-pass per-sample Gram system; the alpha
-     FISTA / Frank-Wolfe loops and the cost then run on O(p^2 n_s) data.
+  1. builds C/M per lane-tile in VMEM,
+  2. runs the whole n_iter2 FISTA U loop without touching HBM,
+  3. accumulates the u-dependent Gram blocks (G_:u, b_u, sum u^2) with the
+     NEW u in the same pass.
 
-Transposes happen once at entry/exit.
+The alpha FISTA / Frank-Wolfe loops, Lipschitz refreshes, and the
+Gram-identity cost then run on O(p^2 n_s) data — zero further passes over
+the CpG axis. The loop-invariant known-block Grams (G_tt, b_t, ydy) are
+computed once before the loop (ops/gram.py). Big-array traffic per outer
+iteration: read Y, D, Rt, u, u_prev once, write u/u_prev — the minimum the
+reference's update semantics admit (`demethify/deconvolution.py:190-223`).
+
+All arrays are padded to the kernel lane-tile ONCE at entry and stay
+padded through the loop (zero-padded lanes provably stay zero through the
+FISTA updates and contribute nothing to the Gram sums); outputs are
+sliced back at exit.
 """
 
 from functools import partial
@@ -21,7 +32,26 @@ from demethify_tpu.ops import fista
 from demethify_tpu.ops.cost import weighted_cost_gram
 from demethify_tpu.ops.gram import accum_dtype
 from demethify_tpu.ops.frank_wolfe import frank_wolfe_gram
-from demethify_tpu.ops.pallas_kernels import grams, u_phase
+from demethify_tpu.ops.pallas_kernels import (
+    MEGA_TILE,
+    _pad_lanes,
+    u_phase_grams,
+)
+
+
+def auto_tile(n_u: int, n_s: int, n_ct: int = 0) -> int:
+    """Largest lane tile whose per-step VMEM footprint stays within
+    budget: double-buffered IO blocks (y, d, rt, 2x u in + 2x u out) plus
+    the in-kernel temporaries (dy, dresid, du, c, m with its n_u^2 rows,
+    folded FISTA carries). The n_u^2 curvature rows dominate for large
+    n_u, which is what shrinks the tile."""
+    bytes_per_lane = 4 * (2 * (2 * n_s + n_ct + 4 * n_u)   # IO, dbl-buf
+                          + 3 * n_s                         # dy/dresid/...
+                          + n_s * n_u + n_u * n_u + 6 * n_u)
+    budget = 10 * 2 ** 20
+    tile = budget // max(bytes_per_lane, 1)
+    tile = (tile // 1024) * 1024
+    return int(max(1024, min(MEGA_TILE, tile)))
 
 
 def _cost_t(yt, dt, rt_full, alpha):
@@ -29,21 +59,55 @@ def _cost_t(yt, dt, rt_full, alpha):
     return jnp.sum(dt * resid * resid)
 
 
+def _known_grams_t(rtt, dt, yt, acc):
+    """Loop-invariant Gram blocks from transposed operands.
+
+    G_tt: (n_s, n_ct, n_ct), b_t: (n_ct, n_s), ydy: (n_s,).
+    """
+    G_tt = jnp.einsum("pi,si,qi->spq", rtt, dt, rtt,
+                      preferred_element_type=acc)
+    b_t = jnp.einsum("pi,si->ps", rtt, dt * yt, preferred_element_type=acc)
+    ydy = jnp.sum((dt * yt * yt).astype(acc), axis=1)
+    return G_tt, b_t, ydy
+
+
+def _assemble_grams(G_tt, b_t, gu, b_u, n_ct: int):
+    """Full per-sample Gram system from the invariant known block plus the
+    megakernel's u rows ``gu[s, u, :] = u' diag(d_s) [Rt | u]``."""
+    g_ut = gu[:, :, :n_ct]                      # (n_s, n_u, n_ct)
+    top = jnp.concatenate([G_tt, jnp.swapaxes(g_ut, 1, 2)], axis=2)
+    G = jnp.concatenate([top, gu], axis=1)
+    b = jnp.concatenate([b_t, b_u], axis=0)
+    return G, b
+
+
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
-                                   "record_trace"))
+                                   "record_trace", "tile", "tol_relative"))
 def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
                             n_iter1: int = 10000, n_iter2: int = 20,
-                            tol: float = 1e-2, record_trace: bool = False):
+                            tol: float = 1e-2, record_trace: bool = False,
+                            tile: int = 0, tol_relative: bool = False,
+                            row_mask=None):
     """Drop-in equivalent of partial_ref_solve (same trajectory)."""
+    if tile == 0:
+        tile = auto_tile(n_u, y.shape[1], R_trunc.shape[1])
     dtype = accum_dtype(y)
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
-    yt, dt, rtt, ut = y.T, d.T, R_trunc.T, u.T
+    n = y.shape[0]
+    n_ct = R_trunc.shape[1]
+    yt, _ = _pad_lanes(y.T, tile)
+    dt, _ = _pad_lanes(d.T, tile)
+    rtt, _ = _pad_lanes(R_trunc.T, tile)
+    ut, _ = _pad_lanes(u.T, tile)
     dmax2 = jnp.max(d) ** 2
-    rt0 = jnp.concatenate([rtt, ut], axis=0)
+    rt0 = jnp.concatenate([rtt.astype(dtype), ut], axis=0)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
     l_h0 = jnp.sum(rt0 * rt0) * dmax2
-    cf0 = _cost_t(yt, dt, rt0, alpha)
+    cf0 = _cost_t(yt.astype(dtype), dt.astype(dtype), rt0, alpha)
+    tol = tol * cf0 if tol_relative else tol
+    G_tt, b_t, ydy = _known_grams_t(rtt, dt, yt, dtype)
+    rt_sq = jnp.sum(rtt.astype(dtype) ** 2)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -56,16 +120,16 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
         (ut, upt, alpha, alpha_prev, a1, a2,
          l_w, l_w_prev, l_h_prev, cf, _, k, trace) = carry
 
-        ut, upt, a1, l_w_prev = u_phase(
+        ut, upt, a1, l_w_prev, gu, b_u, usq = u_phase_grams(
             yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut, upt,
-            a1, l_w, l_w_prev, n_iter2)
+            a1, l_w, l_w_prev, n_iter2, tile=tile)
 
-        rt = jnp.concatenate([rtt, ut], axis=0)
-        G, b, ydy = grams(yt, dt, rt)
-        l_h = jnp.sum(rt * rt) * dmax2
+        G, b = _assemble_grams(G_tt, b_t, gu, b_u, n_ct)
+        l_h = (rt_sq + usq) * dmax2
 
         alpha, alpha_prev, a2, l_h_prev = fista.fista_alpha_gram(
-            alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2)
+            alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2,
+            row_mask=row_mask)
 
         l_w = jnp.sum(alpha[-n_u:] ** 2) * dmax2
         cf_new = weighted_cost_gram(G, b, ydy, alpha)
@@ -82,24 +146,32 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
             trace0)
     out = jax.lax.while_loop(cond, body, init)
     ut, _, alpha, _, _, _, _, _, _, cf, _, k, trace = out
-    return ut.T, alpha, {"cost": cf, "n_iter": k, "trace": trace}
+    return ut[:, :n].T, alpha, {"cost": cf, "n_iter": k, "trace": trace}
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
-                                   "record_trace"))
+                                   "record_trace", "tile", "tol_relative"))
 def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
                              n_iter1: int = 10000, n_iter2: int = 20,
                              tol: float = 1e-2,
-                             record_trace: bool = False):
+                             record_trace: bool = False,
+                             tile: int = 0, tol_relative: bool = False):
     """Fused unsupervised NMF (R = U, lagged-gradient quirk preserved)."""
+    if tile == 0:
+        tile = auto_tile(n_u, y.shape[1])
     dtype = accum_dtype(y)
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
-    yt, dt, ut = y.T, d.T, u.T
+    n = y.shape[0]
+    yt, _ = _pad_lanes(y.T, tile)
+    dt, _ = _pad_lanes(d.T, tile)
+    ut, _ = _pad_lanes(u.T, tile)
     dmax2 = jnp.max(d) ** 2
     l_w0 = jnp.sum(alpha * alpha) * dmax2
     l_h0 = jnp.sum(ut * ut) * dmax2
-    cf0 = _cost_t(yt, dt, ut, alpha)
+    cf0 = _cost_t(yt.astype(dtype), dt.astype(dtype), ut, alpha)
+    tol = tol * cf0 if tol_relative else tol
+    ydy = jnp.sum((dt * yt * yt).astype(dtype), axis=1)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -112,12 +184,12 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
         (ut, upt, alpha, alpha_prev, a1, a2,
          l_w, l_w_prev, l_h_prev, cf, _, k, trace) = carry
 
-        ut, upt, a1, l_w_prev = u_phase(
+        ut, upt, a1, l_w_prev, gu, b_u, usq = u_phase_grams(
             yt, dt, None, None, alpha, ut, upt,
-            a1, l_w, l_w_prev, n_iter2, lagged=True)
+            a1, l_w, l_w_prev, n_iter2, lagged=True, tile=tile)
 
-        G, b, ydy = grams(yt, dt, ut)
-        l_h = jnp.sum(ut * ut) * dmax2
+        G, b = gu, b_u
+        l_h = usq * dmax2
 
         alpha, alpha_prev, a2, l_h_prev = fista.fista_alpha_gram(
             alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2)
@@ -137,23 +209,33 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
             trace0)
     out = jax.lax.while_loop(cond, body, init)
     ut, _, alpha, _, _, _, _, _, _, cf, _, k, trace = out
-    return ut.T, alpha, {"cost": cf, "n_iter": k, "trace": trace}
+    return ut[:, :n].T, alpha, {"cost": cf, "n_iter": k, "trace": trace}
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
-                                   "record_trace"))
+                                   "record_trace", "tile", "tol_relative"))
 def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
                        n_iter1: int = 100, n_iter2: int = 500,
-                       tol: float = 1e-2, record_trace: bool = False):
+                       tol: float = 1e-2, record_trace: bool = False,
+                       tile: int = 0, tol_relative: bool = False):
     """Fused purity-constrained solver (Frank-Wolfe alpha on Grams)."""
+    if tile == 0:
+        tile = auto_tile(n_u, y.shape[1], R_trunc.shape[1])
     dtype = accum_dtype(y)
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
-    yt, dt, rtt, ut = y.T, d.T, R_trunc.T, u.T
+    n = y.shape[0]
+    n_ct = R_trunc.shape[1]
+    yt, _ = _pad_lanes(y.T, tile)
+    dt, _ = _pad_lanes(d.T, tile)
+    rtt, _ = _pad_lanes(R_trunc.T, tile)
+    ut, _ = _pad_lanes(u.T, tile)
     dmax2 = jnp.max(d) ** 2
-    rt0 = jnp.concatenate([rtt, ut], axis=0)
+    rt0 = jnp.concatenate([rtt.astype(dtype), ut], axis=0)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
-    cf0 = _cost_t(yt, dt, rt0, alpha)
+    cf0 = _cost_t(yt.astype(dtype), dt.astype(dtype), rt0, alpha)
+    tol = tol * cf0 if tol_relative else tol
+    G_tt, b_t, ydy = _known_grams_t(rtt, dt, yt, dtype)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -165,12 +247,11 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
     def body(carry):
         (ut, upt, alpha, a1, l_w, l_w_prev, cf, _, k, trace) = carry
 
-        ut, upt, a1, l_w_prev = u_phase(
+        ut, upt, a1, l_w_prev, gu, b_u, _ = u_phase_grams(
             yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut, upt,
-            a1, l_w, l_w_prev, n_iter2)
+            a1, l_w, l_w_prev, n_iter2, tile=tile)
 
-        rt = jnp.concatenate([rtt, ut], axis=0)
-        G, b, ydy = grams(yt, dt, rt)
+        G, b = _assemble_grams(G_tt, b_t, gu, b_u, n_ct)
 
         alpha1, alpha2 = frank_wolfe_gram(
             alpha[:-n_u], alpha[-n_u:], G, b, purity, n_iter2)
@@ -189,4 +270,4 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
             jnp.zeros((), jnp.int32), trace0)
     out = jax.lax.while_loop(cond, body, init)
     ut, _, alpha, _, _, _, cf, _, k, trace = out
-    return ut.T, alpha, {"cost": cf, "n_iter": k, "trace": trace}
+    return ut[:, :n].T, alpha, {"cost": cf, "n_iter": k, "trace": trace}

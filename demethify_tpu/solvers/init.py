@@ -16,11 +16,20 @@ import jax
 import jax.numpy as jnp
 
 from demethify_tpu.ops.nndsvd import constrained_nndsvd, nndsvd_initialize
-from demethify_tpu.ops.nnica import constrained_nn_ica, run_nn_ica
+from demethify_tpu.ops.nnica import (
+    constrained_nn_ica,
+    run_nn_ica,
+    run_nn_ica_dual,
+)
 from demethify_tpu.ops.nnls import wls_intercept_batch
 from demethify_tpu.ops.simplex import project_columns_to_simplex
 
 INIT_OPTIONS = ("uniform", "uniform_", "beta", "SVD", "ICA")
+
+# Above this many CpG rows the ICA init switches to the column-space dual
+# form (ops/nnica.run_nn_ica_dual): the reference algorithm whitens an
+# (n_cpg x n_cpg) covariance, which is panel-scale only.
+ICA_DUAL_THRESHOLD = 4096
 
 
 def _rand_u(key, n_cpg, n_u, dtype):
@@ -70,7 +79,8 @@ def init_partial(key, init_option: str, y, d, R_trunc, n_u: int):
         u = _rand_beta_u(k1, n_cpg, n_u, dtype)
         alpha = _rand_dirichlet_alpha(k2, p, n_s, dtype)
     elif init_option == "ICA":
-        W, alpha = constrained_nn_ica(y, R_trunc, d, rank=n_u, t_tol=1e-1)
+        W, alpha = constrained_nn_ica(y, R_trunc, d, rank=n_u, t_tol=1e-1,
+                                      dual=n_cpg > ICA_DUAL_THRESHOLD)
         alpha = project_columns_to_simplex(alpha)
         u = W[:, n_ct:]
     elif init_option == "SVD":
@@ -110,7 +120,8 @@ def init_purity(key, init_option: str, y, d, R_trunc, n_u: int, purity):
         u = _rand_beta_u(k1, n_cpg, n_u, dtype)
         alpha = _rand_dirichlet_alpha(k2, p, n_s, dtype)
     elif init_option == "ICA":
-        W, alpha = constrained_nn_ica(y, R_trunc, d, rank=n_u, t_tol=1e-1)
+        W, alpha = constrained_nn_ica(y, R_trunc, d, rank=n_u, t_tol=1e-1,
+                                      dual=n_cpg > ICA_DUAL_THRESHOLD)
         alpha = jnp.concatenate([
             purity[None, :] * project_columns_to_simplex(alpha[:-n_u]),
             (1.0 - purity)[None, :] * project_columns_to_simplex(alpha[-n_u:]),
@@ -150,7 +161,9 @@ def init_unsupervised(key, init_option: str, y, d, n_u: int):
         u = _rand_beta_u(k1, n_cpg, n_u, dtype)
         alpha = _rand_dirichlet_alpha(k2, n_u, n_s, dtype)
     elif init_option == "ICA":
-        u, alpha = run_nn_ica(y, rank=n_u, t_tol=1e-1)
+        ica = (run_nn_ica_dual if n_cpg > ICA_DUAL_THRESHOLD
+               else run_nn_ica)
+        u, alpha = ica(y, rank=n_u, t_tol=1e-1)
         u = jnp.clip(u, 0.0, 1.0)
         alpha = project_columns_to_simplex(alpha)
     elif init_option == "SVD":

@@ -8,7 +8,8 @@ import pytest
 from scipy.linalg import svd as scipy_svd
 
 from demethify_tpu.ops.nndsvd import constrained_nndsvd, nndsvd_initialize
-from demethify_tpu.ops.nnica import run_nn_ica, whiten
+from demethify_tpu.ops.nnica import (constrained_nn_ica, run_nn_ica,
+                                     run_nn_ica_dual, whiten)
 from demethify_tpu.solvers.init import (
     init_partial,
     init_purity,
@@ -105,6 +106,73 @@ class TestNNICA:
         # clipped than raw whitening (weak, qualitative check)
         recon_neg = loss0  # placeholder: at minimum the call converged
         assert np.isfinite(np.asarray(H)).all()
+
+
+class TestNNICADual:
+    """Genome-scale column-space dual form (ops/nnica.run_nn_ica_dual)."""
+
+    def test_output_ranges(self, rng):
+        X = np.abs(rng.normal(size=(5000, 8)))
+        W, H = run_nn_ica_dual(jnp.asarray(X), rank=3, t_tol=1e-1,
+                               i_max=200)
+        W, H = np.asarray(W), np.asarray(H)
+        assert W.shape == (5000, 3) and H.shape == (3, 8)
+        assert (W >= 0).all() and (W <= 1).all()
+        assert (H >= 0).all()
+        assert np.isfinite(W).all() and np.isfinite(H).all()
+
+    def test_deterministic(self, rng):
+        X = np.abs(rng.normal(size=(1200, 6)))
+        out1 = run_nn_ica_dual(jnp.asarray(X), rank=2)
+        out2 = run_nn_ica_dual(jnp.asarray(X), rank=2)
+        np.testing.assert_array_equal(np.asarray(out1[0]),
+                                      np.asarray(out2[0]))
+
+    def test_spans_data_subspace(self, rng):
+        # X has exact rank 4; the dual components must lie in its column
+        # space (they are linear images of the SVD basis)
+        B = np.abs(rng.normal(size=(3000, 4)))
+        S = np.abs(rng.normal(size=(4, 9)))
+        X = B @ S
+        W, _ = run_nn_ica_dual(jnp.asarray(X), rank=4, t_tol=1e-2,
+                               i_max=300)
+        W = np.asarray(W)
+        # each (nonzero) component should mostly lie in span(X): the
+        # pre-clip components are exact linear images of the SVD basis,
+        # and clip(., 0, 1) only moves mass where entries were negative
+        Q, _ = np.linalg.qr(X)
+        proj = Q @ (Q.T @ W)
+        for c in range(W.shape[1]):
+            n_w = np.linalg.norm(W[:, c])
+            if n_w < 1e-12:
+                continue
+            cos = float(W[:, c] @ proj[:, c]) / max(
+                n_w * np.linalg.norm(proj[:, c]), 1e-30)
+            assert cos > 0.7, f"component {c}: cos={cos}"
+
+    def test_constrained_dual_shapes(self, rng):
+        y = rng.uniform(size=(600, 5))
+        d = rng.poisson(40, size=(600, 5)).astype(float) + 1
+        Rt = rng.uniform(size=(600, 3))
+        W, H = constrained_nn_ica(jnp.asarray(y), jnp.asarray(Rt),
+                                  jnp.asarray(d), rank=2, dual=True)
+        assert np.asarray(W).shape == (600, 5)
+        assert np.asarray(H).shape == (5, 5)
+        assert np.isfinite(np.asarray(W)).all()
+
+    def test_init_auto_switch(self, rng, monkeypatch):
+        import demethify_tpu.solvers.init as init_mod
+        monkeypatch.setattr(init_mod, "ICA_DUAL_THRESHOLD", 100)
+        y = rng.uniform(size=(400, 6))
+        d = rng.poisson(40, size=(400, 6)).astype(float) + 1
+        Rt = rng.uniform(size=(400, 4))
+        key = jax.random.PRNGKey(0)
+        u, alpha = init_mod.init_partial(key, "ICA", jnp.asarray(y),
+                                         jnp.asarray(d), jnp.asarray(Rt), 2)
+        assert np.asarray(u).shape == (400, 2)
+        a = np.asarray(alpha)
+        assert a.shape == (6, 6)
+        np.testing.assert_allclose(a.sum(axis=0), 1.0, atol=1e-6)
 
 
 class TestInitStrategies:

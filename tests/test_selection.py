@@ -65,6 +65,19 @@ class TestMinka:
         rank, info = select_rank_minka(Y, counts, None)
         assert rank == true_rank
 
+    def test_sharded_spectrum_path(self, rng, monkeypatch):
+        # force the Gram-eigh (device/sharded) spectrum path and check it
+        # still resolves an exactly low-rank residual
+        import demethify_tpu.selection.minka as minka_mod
+        monkeypatch.setattr(minka_mod, "_HOST_SVD_MAX_ROWS", 10)
+        n, m, true_rank = 300, 10, 4
+        A = rng.normal(size=(n, true_rank))
+        B = rng.normal(size=(true_rank, m))
+        Y = A @ B
+        counts = np.ones_like(Y)
+        rank, info = select_rank_minka(Y, counts, None)
+        assert rank == true_rank
+
     def test_log_lik_validates_rank(self, rng):
         evals = np.sort(rng.uniform(size=8))[::-1]
         with pytest.raises(ValueError):
