@@ -119,6 +119,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help='Row-shard the CpG axis across all local '
                              'devices (multi-chip); Gram reductions run '
                              'as psum collectives over ICI')
+    parser.add_argument('--multihost', nargs=3, default=None,
+                        metavar=('COORD', 'NPROC', 'PID'),
+                        help='Join a multi-host run: coordinator '
+                             'address (host:port), total process count, '
+                             'this process id. Every process must run '
+                             'the same command; CpG rows are sharded '
+                             'globally (Gram reductions psum over '
+                             'ICI/DCN), proportions are written by '
+                             'process 0, unknown profiles as per-host '
+                             'part files.')
     return parser
 
 
@@ -133,6 +143,15 @@ def main(argv=None):
         jax.config.update('jax_enable_x64', True)
 
     import jax
+
+    proc_id = 0
+    if args.multihost:
+        from demethify_tpu.parallel.distributed import initialize
+        coord, nproc, proc_id = (args.multihost[0], int(args.multihost[1]),
+                                 int(args.multihost[2]))
+        initialize(coordinator_address=coord, num_processes=nproc,
+                   process_id=proc_id)
+
     import jax.numpy as jnp
 
     from demethify_tpu.utils import (
@@ -230,7 +249,16 @@ def main(argv=None):
                       dtype=np_dtype)
     n_cpg_orig = ds.meth_f.shape[0]
     dev_dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else None
-    if args.shard and len(jax.devices()) > 1:
+    if args.multihost:
+        from demethify_tpu.parallel.distributed import shard_dataset_global
+        _, y, d, ref_mat = shard_dataset_global(
+            ds.meth_f.astype(np_dtype), ds.counts.astype(np_dtype),
+            None if ds.ref is None else ds.ref.astype(np_dtype))
+        if dev_dtype is not None:
+            y = y.astype(dev_dtype)
+            d = d.astype(dev_dtype)
+            ref_mat = None if ref_mat is None else ref_mat.astype(dev_dtype)
+    elif args.shard and len(jax.devices()) > 1:
         from demethify_tpu.parallel.mesh import make_mesh, shard_dataset
         mesh = make_mesh(jax.devices(), replicate=1)
         y, d, ref_mat = shard_dataset(
@@ -251,6 +279,26 @@ def main(argv=None):
 
     time_start = time()
     key = jax.random.PRNGKey(seed)
+
+    def _write_profile(u_arr, unknown_header):
+        """Unknown-profile CSV; in --multihost mode each process writes
+        only its addressable CpG row block (no global gather)."""
+        if args.multihost and not getattr(u_arr, "is_fully_addressable",
+                                          True):
+            from demethify_tpu.parallel.distributed import (
+                addressable_row_block,
+            )
+            blk, start = addressable_row_block(u_arr)
+            stop = min(start + blk.shape[0], n_cpg_orig)
+            if stop > start:
+                write_profile_estimate(outdir, blk[:stop - start],
+                                       unknown_header,
+                                       suffix=f".part{proc_id:04d}",
+                                       row_offset=start)
+        else:
+            write_profile_estimate(outdir,
+                                   np.asarray(u_arr)[:n_cpg_orig],
+                                   unknown_header)
 
     # ------------------------------------------------------------------
     # bootstrap CIs first, like the reference (demethify.py:151-152)
@@ -292,8 +340,7 @@ def main(argv=None):
             n_restarts=nb_r, n_u_max=args.icmax[0])
         unknown_header = [f"unknown_cell_{i+1}" for i in range(ic_n_u)]
         header += unknown_header
-        write_profile_estimate(outdir, np.asarray(u_best)[:n_cpg_orig],
-                               unknown_header)
+        _write_profile(u_best, unknown_header)
     elif ref_mat is None:
         res = unsupervised_deconv(y, d, n_u, init=args.init, key=key,
                                   n_restarts=restart,
@@ -305,8 +352,7 @@ def main(argv=None):
         proportions = res.proportions
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         header = unknown_header
-        write_profile_estimate(outdir, np.asarray(res.u)[:n_cpg_orig],
-                               unknown_header)
+        _write_profile(res.u, unknown_header)
     elif n_u > 0 and y.shape[1] >= 1:
         if purity is not None:
             res = purity_deconv(y, d, ref_mat, n_u, purity,
@@ -329,8 +375,7 @@ def main(argv=None):
         proportions = res.proportions
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         header += unknown_header
-        write_profile_estimate(outdir, np.asarray(res.u)[:n_cpg_orig],
-                               unknown_header)
+        _write_profile(res.u, unknown_header)
     elif n_u == 0 and y.shape[1] >= 1:
         res = supervised_deconv(y, d, ref_mat)
         proportions = res.proportions
@@ -349,7 +394,15 @@ def main(argv=None):
     # outputs (reference demethify.py:221-239)
     # ------------------------------------------------------------------
     import pandas as pd
-    props_np = np.asarray(proportions, dtype=np.float64)
+    if args.multihost:
+        from demethify_tpu.parallel.distributed import replicated_to_host
+        props_np = replicated_to_host(proportions).astype(np.float64)
+    else:
+        props_np = np.asarray(proportions, dtype=np.float64)
+    if proc_id != 0:
+        # non-zero hosts wrote their profile part files above; the
+        # replicated small outputs are process 0's job
+        return 0
     props_df = write_proportions(outdir, props_np, header,
                                  ds.sample_names)
 

@@ -22,10 +22,22 @@ def write_proportions(outdir: str, proportions: np.ndarray,
 
 
 def write_profile_estimate(outdir: str, u: np.ndarray,
-                           unknown_header: List[str]) -> str:
-    path = os.path.join(outdir, "methylation_profile_estimate.csv")
-    pd.DataFrame(np.asarray(u)).to_csv(path, index=False,
-                                       header=unknown_header)
+                           unknown_header: List[str],
+                           suffix: str = "",
+                           row_offset: int = 0) -> str:
+    """``suffix``/``row_offset`` support the multi-host path: each host
+    writes only its own CpG row block as
+    ``methylation_profile_estimate<suffix>.csv`` with a global row index,
+    so no host ever gathers the genome-scale factor."""
+    path = os.path.join(outdir,
+                        f"methylation_profile_estimate{suffix}.csv")
+    df = pd.DataFrame(np.asarray(u))
+    if suffix:
+        df.index = np.arange(row_offset, row_offset + df.shape[0])
+        df.to_csv(path, index=True, index_label="row",
+                  header=unknown_header)
+    else:
+        df.to_csv(path, index=False, header=unknown_header)
     return path
 
 

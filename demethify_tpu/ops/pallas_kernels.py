@@ -239,24 +239,50 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     else:
         rtt = None
         dresid = dy
-    c = jax.lax.dot_general(a2b, dresid, (((1,), (0,)), ((), ())),
-                            preferred_element_type=state_dt)  # (n_u, T)
-
-    w2 = (a2b[:, None, :] * a2b[None, :, :]).reshape(n_u * n_u,
-                                                     a2b.shape[1])
-    m = jax.lax.dot_general(w2, dt, (((1,), (0,)), ((), ())),
-                            preferred_element_type=state_dt)
-
-    # Fold the lane axis into sublanes for the FISTA loop: a (n_u, T)
-    # array keeps only n_u of 8 VPU sublanes busy; reshaped to
-    # (n_u, 8, T/8) every elementwise step runs at full vector packing.
-    # The update is elementwise in T, so the (bijective) reshape commutes
-    # with it exactly — same trajectory, ~8x fewer VPU ops for n_u=1.
-    T = m.shape[-1]
+    T = dt.shape[-1]
     SUB = 8
     Tf = T // SUB
-    c8 = c.reshape(n_u, SUB, Tf)
-    m8 = m.reshape(n_u, n_u, SUB, Tf)
+
+    # Two in-VMEM dataflows for the FISTA gradient, both reading the same
+    # HBM blocks (unlike the XLA-level gram/direct split, this is purely
+    # a VPU-work tradeoff): the GRAM form precomputes C and the per-site
+    # curvature rows M (n_u^2 rows) and each step costs O(n_u^2 T); the
+    # DIRECT form keeps d*(y - Rt a1) and redoes the two small-K dots per
+    # step at O(n_s T). Mirrors ops/fista.use_gram_u.
+    use_gram = n_u * n_u <= 3 * dt.shape[0]
+
+    if use_gram:
+        c = jax.lax.dot_general(a2b, dresid, (((1,), (0,)), ((), ())),
+                                preferred_element_type=state_dt)
+        w2 = (a2b[:, None, :] * a2b[None, :, :]).reshape(
+            n_u * n_u, a2b.shape[1])
+        m = jax.lax.dot_general(w2, dt, (((1,), (0,)), ((), ())),
+                                preferred_element_type=state_dt)
+        # Fold the lane axis into sublanes: a (n_u, T) array keeps only
+        # n_u of 8 VPU sublanes busy; as (n_u, 8, T/8) every elementwise
+        # step runs fully packed. The update is elementwise in T, so the
+        # (bijective) reshape commutes with it exactly.
+        c8 = c.reshape(n_u, SUB, Tf)
+        m8 = m.reshape(n_u, n_u, SUB, Tf)
+
+        def grad_fn(grad_at):
+            return c8 - jnp.sum(m8 * grad_at[None], axis=1)
+
+        fold = lambda x: x.reshape(n_u, SUB, Tf)        # noqa: E731
+        unfold = lambda x: x.reshape(n_u, T)            # noqa: E731
+    else:
+        a2bT = a2b.T                                     # (n_s, n_u)
+
+        def grad_fn(grad_at):
+            model = jax.lax.dot_general(
+                a2bT, grad_at, (((1,), (0,)), ((), ())),
+                preferred_element_type=state_dt)        # (n_s, T)
+            resid = dresid - dt * model
+            return jax.lax.dot_general(
+                a2b, resid, (((1,), (0,)), ((), ())),
+                preferred_element_type=state_dt)        # (n_u, T)
+
+        fold = unfold = lambda x: x                      # noqa: E731
 
     def body(_, carry):
         u, up, a, l_prev = carry
@@ -265,24 +291,33 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
         beta = jnp.minimum((a0 - 1.0) / a1n,
                            0.9999 * jnp.sqrt(l_prev / l_w))
         u_t = u + beta * (u - up)
-        grad_at = u if lagged else u_t
-        mdotu = jnp.sum(m8 * grad_at[None], axis=1)   # (n_u, SUB, Tf)
-        u_new = jnp.clip(u_t + (c8 - mdotu) / l_w, 0.0, 1.0)
+        grad = grad_fn(u if lagged else u_t)
+        u_new = jnp.clip(u_t + grad / l_w, 0.0, 1.0)
         return (u_new, u, a1n, l_w)
 
     # UNROLLED when small: each step's momentum scalar (sqrt/min) is a
     # serial scalar-unit chain; unrolling lets Mosaic hoist the whole
-    # scalar sequence and keep the VPU busy (mirrors ops/fista._run_steps)
-    carry = (u_ref[:].reshape(n_u, SUB, Tf),
-             up_ref[:].reshape(n_u, SUB, Tf), a0_init, l_w_prev0)
+    # scalar sequence and keep the VPU busy (mirrors ops/fista._run_steps).
+    # Long schedules (purity: 500) unroll in chunks inside the fori_loop
+    # (Mosaic's scan lowering only supports unroll=1, so chunk manually).
+    carry = (fold(u_ref[:]), fold(up_ref[:]), a0_init, l_w_prev0)
     if n_steps <= 64:
         for _ in range(n_steps):
             carry = body(None, carry)
         u, up, _, _ = carry
     else:
-        u, up, _, _ = jax.lax.fori_loop(0, n_steps, body, carry)
-    u = u.reshape(n_u, T)
-    up = up.reshape(n_u, T)
+        chunk = next(c for c in (16, 10, 8, 5, 4, 2, 1)
+                     if n_steps % c == 0)
+
+        def chunk_body(_, carry):
+            for _ in range(chunk):
+                carry = body(None, carry)
+            return carry
+
+        u, up, _, _ = jax.lax.fori_loop(0, n_steps // chunk, chunk_body,
+                                        carry)
+    u = unfold(u)
+    up = unfold(up)
     u_out_ref[:] = u
     up_out_ref[:] = up
 

@@ -72,3 +72,98 @@ def load_bedmethyl_shard(paths: List[str], n_hosts: int, host_id: int,
     meth, counts = read_bedmethyl_samples(paths, fillna=fillna, dtype=dtype)
     start, end = host_row_block(meth.shape[0], n_hosts, host_id)
     return meth[start:end], counts[start:end]
+
+
+def load_dataset_shard(methfreq: List[str], ref: Optional[str],
+                       bedmethyl: bool, fillna: bool, dtype,
+                       n_hosts: int, host_id: int):
+    """Host-local row block of the full dataset (meth_f, counts, ref,
+    header) plus the pre-slice global row count and [start, end).
+
+    The CLI multi-process path (--multihost): each process parses the
+    shared files and keeps only its contiguous CpG row block; the blocks
+    are assembled into one globally sharded jax.Array with
+    `make_global_cpg_array`. The reference's loader semantics
+    (`demethify/demethify.py:102-146`) are preserved by delegating to the
+    single-host reader.
+    """
+    from demethify_tpu.io.readers import load_dataset
+
+    ds = load_dataset(methfreq, ref=ref, bedmethyl=bedmethyl,
+                      fillna=fillna, dtype=dtype)
+    n_rows = ds.meth_f.shape[0]
+    start, end = host_row_block(n_rows, n_hosts, host_id)
+    meth = ds.meth_f[start:end]
+    counts = ds.counts[start:end]
+    ref_blk = None if ds.ref is None else ds.ref[start:end]
+    return meth, counts, ref_blk, list(ds.header), n_rows, (start, end)
+
+
+def shard_dataset_global(meth: np.ndarray, counts: np.ndarray,
+                         ref: Optional[np.ndarray]):
+    """CLI --multihost data path: the host-parsed arrays are split into
+    per-process contiguous CpG row blocks and assembled into globally
+    row-sharded jax.Arrays over a mesh spanning ALL processes' devices
+    (replicate=1; Gram reductions psum over ICI/DCN).
+
+    Returns (mesh, y, d, ref_or_None). Rows are zero-padded to the
+    global shard count (zero coverage = inert rows).
+
+    For maximal IO scaling pre-split per-host inputs and feed
+    `make_global_cpg_array` directly; the CLI re-parses the shared files
+    on every host as a convenience (the parse is the native fastbed
+    parser, ~GB/s).
+    """
+    from demethify_tpu.parallel.mesh import (
+        CPG_AXIS,
+        cpg_sharding,
+        make_mesh,
+        pad_to_multiple,
+    )
+
+    mesh = make_mesh(jax.devices(), replicate=1)
+    n_shards = mesh.shape[CPG_AXIS]
+    nproc = jax.process_count()
+    pid = jax.process_index()
+
+    def shard_one(x):
+        if x is None:
+            return None
+        x_p, _ = pad_to_multiple(np.asarray(x), n_shards)
+        blk = x_p.shape[0] // nproc
+        local = x_p[pid * blk:(pid + 1) * blk]
+        return jax.make_array_from_process_local_data(
+            cpg_sharding(mesh), local, x_p.shape)
+
+    return mesh, shard_one(meth), shard_one(counts), shard_one(ref)
+
+
+def addressable_row_block(arr) -> Tuple[np.ndarray, int]:
+    """This process's contiguous row block of a cpg-row-sharded global
+    array, plus its global starting row — for scalable per-host output
+    writing (no host gathers the genome-scale factors)."""
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start)
+    block = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return block, shards[0].index[0].start
+
+
+def replicated_to_host(arr) -> np.ndarray:
+    """Host copy of a replicated (or single-device) array that is safe
+    under multi-process execution (plain np.asarray requires full
+    addressability)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    return np.asarray(arr.addressable_shards[0].data)
+
+
+def assemble_sharded_dataset(mesh, meth, counts, ref_blk):
+    """Globally row-sharded (y, d, ref) from this process's local blocks.
+
+    Requires equal block sizes across processes (pad the inputs or use a
+    row count divisible by the host count); ref is replicated per-row
+    alongside y/d so all Gram reductions stay shard-local + psum.
+    """
+    y = make_global_cpg_array(mesh, meth)
+    d = make_global_cpg_array(mesh, counts)
+    r = None if ref_blk is None else make_global_cpg_array(mesh, ref_blk)
+    return y, d, r

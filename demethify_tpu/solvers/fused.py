@@ -28,10 +28,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from demethify_tpu.ops import fista
 from demethify_tpu.ops.cost import weighted_cost_gram
 from demethify_tpu.ops.gram import accum_dtype
-from demethify_tpu.ops.frank_wolfe import frank_wolfe_gram
+from demethify_tpu.ops.pallas_small import alpha_phase, fw_phase
 from demethify_tpu.ops.pallas_kernels import (
     MEGA_TILE,
     _pad_lanes,
@@ -45,9 +44,13 @@ def auto_tile(n_u: int, n_s: int, n_ct: int = 0) -> int:
     the in-kernel temporaries (dy, dresid, du, c, m with its n_u^2 rows,
     folded FISTA carries). The n_u^2 curvature rows dominate for large
     n_u, which is what shrinks the tile."""
+    # the n_u^2 curvature rows exist only in the kernel's gram dataflow
+    # (pallas_kernels: use_gram = n_u^2 <= 3 n_s); the direct dataflow
+    # trades them for per-step (n_s, T) temporaries
+    curv = n_u * n_u if n_u * n_u <= 3 * n_s else 2 * n_s
     bytes_per_lane = 4 * (2 * (2 * n_s + n_ct + 4 * n_u)   # IO, dbl-buf
                           + 3 * n_s                         # dy/dresid/...
-                          + n_s * n_u + n_u * n_u + 6 * n_u)
+                          + n_s * n_u + curv + 6 * n_u)
     budget = 10 * 2 ** 20
     tile = budget // max(bytes_per_lane, 1)
     tile = (tile // 1024) * 1024
@@ -127,8 +130,8 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
         G, b = _assemble_grams(G_tt, b_t, gu, b_u, n_ct)
         l_h = (rt_sq + usq) * dmax2
 
-        alpha, alpha_prev, a2, l_h_prev = fista.fista_alpha_gram(
-            alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2,
+        alpha, alpha_prev, a2, l_h_prev = alpha_phase(
+            G, b, alpha, alpha_prev, a2, l_h_prev, l_h, n_iter2,
             row_mask=row_mask)
 
         l_w = jnp.sum(alpha[-n_u:] ** 2) * dmax2
@@ -191,8 +194,8 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
         G, b = gu, b_u
         l_h = usq * dmax2
 
-        alpha, alpha_prev, a2, l_h_prev = fista.fista_alpha_gram(
-            alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2)
+        alpha, alpha_prev, a2, l_h_prev = alpha_phase(
+            G, b, alpha, alpha_prev, a2, l_h_prev, l_h, n_iter2)
 
         l_w = jnp.sum(alpha * alpha) * dmax2
         cf_new = weighted_cost_gram(G, b, ydy, alpha)
@@ -253,8 +256,8 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
 
         G, b = _assemble_grams(G_tt, b_t, gu, b_u, n_ct)
 
-        alpha1, alpha2 = frank_wolfe_gram(
-            alpha[:-n_u], alpha[-n_u:], G, b, purity, n_iter2)
+        alpha1, alpha2 = fw_phase(
+            G, b, alpha[:-n_u], alpha[-n_u:], purity, n_iter2)
         alpha = jnp.concatenate([alpha1, alpha2], axis=0)
 
         l_w = jnp.sum(alpha2 * alpha2) * dmax2

@@ -28,3 +28,61 @@ def test_make_mesh_replicate_override():
     mesh = make_mesh(jax.devices(), replicate=1)
     assert mesh.shape["replicate"] == 1
     assert mesh.shape["cpg"] == len(jax.devices())
+
+
+class TestMultiProcessE2E:
+    """REAL multi-process runs: two OS processes join one jax.distributed
+    runtime over CPU (gloo collectives) and run the full CLI with
+    globally row-sharded CpG arrays — the closest single-machine
+    approximation of a multi-host TPU pod run."""
+
+    def _run_cli(self, extra, env):
+        import subprocess
+        import sys
+        F = "/root/reference/test/output_gen"
+        samples = [f"{F}/sample{i}.bed" for i in range(1, 11)]
+        cmd = [sys.executable, "-m", "demethify_tpu",
+               "--methfreq", *samples, "--ref", f"{F}/ref_matrix.bed",
+               "--bedmethyl", "--noprint", "--platform", "cpu",
+               "--dtype", "float64", "--nbunknown", "1",
+               "--iterations", "40", "5", "--seed", "3"] + extra
+        return cmd
+
+    def test_two_process_cli_matches_single(self, tmp_path):
+        import os
+        import socket
+        import subprocess
+
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env.pop("JAX_PLATFORMS", None)
+
+        out1 = tmp_path / "single"
+        subprocess.run(self._run_cli(["--outdir", str(out1)], env),
+                       check=True, env=env, cwd="/root/repo", timeout=300)
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        out2 = tmp_path / "multi"
+        procs = [subprocess.Popen(
+            self._run_cli(["--outdir", str(out2), "--multihost",
+                           f"localhost:{port}", "2", str(pid)], env),
+            env=env, cwd="/root/repo") for pid in (0, 1)]
+        for pr in procs:
+            assert pr.wait(timeout=300) == 0
+
+        import pandas as pd
+        got = pd.read_csv(out2 / "celltypes_proportions.csv", index_col=0)
+        want = pd.read_csv(out1 / "celltypes_proportions.csv", index_col=0)
+        np.testing.assert_allclose(got.values, want.values, atol=1e-8)
+
+        # per-host unknown-profile part files cover all rows exactly once
+        part0 = pd.read_csv(out2 / "methylation_profile_estimate.part0000.csv")
+        part1 = pd.read_csv(out2 / "methylation_profile_estimate.part0001.csv")
+        rows = np.concatenate([part0["row"].values, part1["row"].values])
+        assert sorted(rows.tolist()) == list(range(350))  # fixture rows
+        full = pd.read_csv(out1 / "methylation_profile_estimate.csv")
+        stacked = np.concatenate([part0.iloc[:, 1:].values,
+                                  part1.iloc[:, 1:].values])[np.argsort(rows)]
+        np.testing.assert_allclose(stacked, full.values, atol=1e-8)

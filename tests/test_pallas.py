@@ -123,6 +123,28 @@ class TestFusedSolvers:
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                    atol=1e-8)
 
+    def test_unsupervised_trajectory_direct_dataflow(self, small_problem):
+        # n_u^2 > 3 n_s selects the kernel's DIRECT u-gradient dataflow
+        # (pallas_kernels use_gram heuristic) — must match the XLA solver
+        p = small_problem
+        y, d = p["y"], p["d"]
+        n_u = 5
+        assert n_u * n_u > 3 * y.shape[1]
+        rng = np.random.default_rng(9)
+        u0 = rng.uniform(size=(y.shape[0], n_u))
+        a0 = rng.dirichlet(np.ones(n_u), size=y.shape[1]).T
+
+        want = unsupervised_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), n_u, n_iter1=8, n_iter2=5, tol=1e-9)
+        got = unsupervised_solve_fused(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), n_u, n_iter1=8, n_iter2=5, tol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   atol=1e-8)
+
     def test_purity_trajectory(self, small_problem):
         p = small_problem
         y, d, Rt, n_u = p["y"], p["d"], p["R_trunc"], p["n_u"]

@@ -215,3 +215,37 @@ class TestReviewRegressions:
         assert not _is_deterministic("SVD", 12, 10, None)  # fallback
         assert not _is_deterministic("uniform_", 1, 10, None)
         assert _is_deterministic("uniform_", 1, 10, ("u", "a"))
+
+
+class TestBfloat16Storage:
+    """bfloat16 HBM storage with float32 accumulation: both solver
+    dataflows (XLA gram-form and the fused Pallas path) must stay close
+    to the float32 solve — README's mixed-precision claim."""
+
+    def _solve_pair(self, small_problem, solver, extra=()):
+        p = small_problem
+        rng = np.random.default_rng(11)
+        u0, a0 = _init(rng, p["y"].shape[0], p["R_trunc"].shape[1]
+                       + p["n_u"], p["n_u"], p["y"].shape[1])
+        args32 = [jnp.asarray(x, jnp.float32) for x in
+                  (u0, a0, p["y"], p["d"], p["R_trunc"])]
+        u32, a32, _ = solver(*args32, *extra, p["n_u"],
+                             n_iter1=30, n_iter2=5, tol=0.0)
+        args16 = [args32[0], args32[1],
+                  jnp.asarray(p["y"], jnp.bfloat16),
+                  jnp.asarray(p["d"], jnp.bfloat16), args32[4]]
+        u16, a16, _ = solver(*args16, *extra, p["n_u"],
+                             n_iter1=30, n_iter2=5, tol=0.0)
+        return np.asarray(a32), np.asarray(a16, dtype=np.float32)
+
+    def test_xla_path(self, small_problem):
+        a32, a16 = self._solve_pair(small_problem, partial_ref_solve)
+        assert np.abs(a32 - a16).max() < 0.05
+        np.testing.assert_allclose(a16.sum(axis=0), 1.0, atol=1e-3)
+
+    def test_fused_path(self, small_problem):
+        from demethify_tpu.solvers.fused import partial_ref_solve_fused
+        a32, a16 = self._solve_pair(small_problem,
+                                    partial_ref_solve_fused)
+        assert np.abs(a32 - a16).max() < 0.05
+        np.testing.assert_allclose(a16.sum(axis=0), 1.0, atol=1e-3)

@@ -1,0 +1,81 @@
+"""Device-time per outer iteration for the fused solvers (axon profiler)."""
+import collections
+import glob
+import gzip
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/demethify_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from bench import make_problem, N_U, N_INNER  # noqa: E402
+from demethify_tpu.solvers import fused  # noqa: E402
+
+ITERS = 50
+
+
+def device_ms(tracedir, fn):
+    fn()  # warm
+    with jax.profiler.trace(tracedir):
+        fn()
+    path = sorted(glob.glob(f"{tracedir}/plugins/profile/*/vm.trace.json.gz"))[-1]
+    with gzip.open(path) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dur = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
+            if e["name"].startswith(("jit_", "while")):
+                continue
+            dur[e["name"]] += e.get("dur", 0)
+    total = sum(dur.values())
+    top = ", ".join(f"{n}={d/1e3:.2f}ms" for n, d in dur.most_common(4))
+    return total / 1e3, top
+
+
+def main(which="all"):
+    y, d, Rt, u0, a0 = make_problem()
+    uj, aj, yj, dj, Rtj = [jax.device_put(x) for x in (u0, a0, y, d, Rt)]
+    jax.block_until_ready([uj, aj, yj, dj, Rtj])
+
+    if which in ("all", "partial"):
+        ms, top = device_ms("/tmp/prof_pr", lambda: float(
+            fused.partial_ref_solve_fused(uj, aj, yj, dj, Rtj, N_U,
+                                          n_iter1=ITERS, n_iter2=N_INNER,
+                                          tol=0.0)[2]["cost"]))
+        print(f"partial-ref fused: {ms/ITERS:.4f} ms/iter [{top}]",
+              flush=True)
+
+    if which in ("all", "purity"):
+        rng = np.random.default_rng(1)
+        purity = jnp.asarray(rng.uniform(0.3, 0.8, size=y.shape[1]),
+                             jnp.float32)
+        ms, top = device_ms("/tmp/prof_pur", lambda: float(
+            fused.purity_solve_fused(uj, aj, yj, dj, Rtj, purity, N_U,
+                                     n_iter1=20, n_iter2=500,
+                                     tol=0.0)[2]["cost"]))
+        print(f"purity fused     : {ms/20:.4f} ms/iter (500 FW) [{top}]",
+              flush=True)
+
+    if which in ("all", "unsup"):
+        rng = np.random.default_rng(2)
+        nu = 6
+        u0u = jnp.asarray(rng.uniform(size=(y.shape[0], nu)), jnp.float32)
+        a0u = jnp.asarray(rng.dirichlet(np.ones(nu), size=y.shape[1]).T,
+                          jnp.float32)
+        ms, top = device_ms("/tmp/prof_uns", lambda: float(
+            fused.unsupervised_solve_fused(u0u, a0u, yj, dj, nu,
+                                           n_iter1=ITERS, n_iter2=N_INNER,
+                                           tol=0.0)[2]["cost"]))
+        print(f"unsupervised n_u=6: {ms/ITERS:.4f} ms/iter [{top}]",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "all")
