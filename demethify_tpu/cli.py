@@ -144,6 +144,14 @@ def main(argv=None):
 
     import jax
 
+    if args.multihost and (args.confidence or args.ic):
+        sys.stderr.write(
+            "Error: --multihost currently supports the four solver "
+            "paths only; run --confidence / --ic on a single host "
+            "(their replicate batches gather rows across shards and "
+            "their writers are not multi-process aware).\n")
+        sys.exit(1)
+
     proc_id = 0
     if args.multihost:
         from demethify_tpu.parallel.distributed import initialize
@@ -387,8 +395,14 @@ def main(argv=None):
     if res is not None:
         stats.finish(res.n_iter)
     if args.trace and res is not None and res.trace is not None \
-            and res.trace.size:
-        write_cost_trace(outdir, res.trace)
+            and res.trace.size and proc_id == 0:
+        trace_arr = res.trace
+        if args.multihost:
+            from demethify_tpu.parallel.distributed import (
+                replicated_to_host,
+            )
+            trace_arr = replicated_to_host(trace_arr)
+        write_cost_trace(outdir, trace_arr)
 
     # ------------------------------------------------------------------
     # outputs (reference demethify.py:221-239)

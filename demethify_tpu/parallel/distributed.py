@@ -74,31 +74,6 @@ def load_bedmethyl_shard(paths: List[str], n_hosts: int, host_id: int,
     return meth[start:end], counts[start:end]
 
 
-def load_dataset_shard(methfreq: List[str], ref: Optional[str],
-                       bedmethyl: bool, fillna: bool, dtype,
-                       n_hosts: int, host_id: int):
-    """Host-local row block of the full dataset (meth_f, counts, ref,
-    header) plus the pre-slice global row count and [start, end).
-
-    The CLI multi-process path (--multihost): each process parses the
-    shared files and keeps only its contiguous CpG row block; the blocks
-    are assembled into one globally sharded jax.Array with
-    `make_global_cpg_array`. The reference's loader semantics
-    (`demethify/demethify.py:102-146`) are preserved by delegating to the
-    single-host reader.
-    """
-    from demethify_tpu.io.readers import load_dataset
-
-    ds = load_dataset(methfreq, ref=ref, bedmethyl=bedmethyl,
-                      fillna=fillna, dtype=dtype)
-    n_rows = ds.meth_f.shape[0]
-    start, end = host_row_block(n_rows, n_hosts, host_id)
-    meth = ds.meth_f[start:end]
-    counts = ds.counts[start:end]
-    ref_blk = None if ds.ref is None else ds.ref[start:end]
-    return meth, counts, ref_blk, list(ds.header), n_rows, (start, end)
-
-
 def shard_dataset_global(meth: np.ndarray, counts: np.ndarray,
                          ref: Optional[np.ndarray]):
     """CLI --multihost data path: the host-parsed arrays are split into
@@ -150,20 +125,13 @@ def addressable_row_block(arr) -> Tuple[np.ndarray, int]:
 def replicated_to_host(arr) -> np.ndarray:
     """Host copy of a replicated (or single-device) array that is safe
     under multi-process execution (plain np.asarray requires full
-    addressability)."""
+    addressability). Raises on a sharded non-replicated array — shard 0
+    would be silently partial data."""
     if getattr(arr, "is_fully_addressable", True):
         return np.asarray(arr)
+    if not getattr(arr, "is_fully_replicated", False):
+        raise ValueError(
+            "replicated_to_host got a non-replicated multi-process "
+            "array; gather it explicitly (addressable_row_block) "
+            "instead")
     return np.asarray(arr.addressable_shards[0].data)
-
-
-def assemble_sharded_dataset(mesh, meth, counts, ref_blk):
-    """Globally row-sharded (y, d, ref) from this process's local blocks.
-
-    Requires equal block sizes across processes (pad the inputs or use a
-    row count divisible by the host count); ref is replicated per-row
-    alongside y/d so all Gram reductions stay shard-local + psum.
-    """
-    y = make_global_cpg_array(mesh, meth)
-    d = make_global_cpg_array(mesh, counts)
-    r = None if ref_blk is None else make_global_cpg_array(mesh, ref_blk)
-    return y, d, r

@@ -67,16 +67,17 @@ def select_rank_minka(Y: np.ndarray, counts: np.ndarray,
     """Returns (rank_est, {'log_liks': (rank -> ll) dict, 'cov_evals': ...})."""
     n_features, n_samples = Y.shape
 
-    if W1 is not None:
-        H1 = wls_intercept_batch(Y, counts, W1)
-        residual = jnp.asarray(Y) - jnp.asarray(W1) @ H1
-    else:
-        residual = jnp.asarray(Y)
-
-    if n_features <= _HOST_SVD_MAX_ROWS:
+    fully_addressable = getattr(Y, "is_fully_addressable", True)
+    if n_features <= _HOST_SVD_MAX_ROWS and fully_addressable:
         # exact spectrum (np.linalg.svd parity with the reference,
-        # `ic.py:119`) at panel scale
-        svals = np.linalg.svd(np.asarray(residual), compute_uv=False)
+        # `ic.py:119`) at panel scale, in the caller's dtype (float64
+        # numpy inputs stay float64 even when jax_enable_x64 is off)
+        if W1 is not None:
+            H1 = np.asarray(wls_intercept_batch(Y, counts, W1))
+            residual = np.asarray(Y) - np.asarray(W1) @ H1
+        else:
+            residual = np.asarray(Y)
+        svals = np.linalg.svd(residual, compute_uv=False)
     else:
         # Sharded tall-skinny spectrum: one psum-reducible Gram pass over
         # the CpG rows (ops/tall_svd.py) — the residual never leaves the
@@ -84,6 +85,11 @@ def select_rank_minka(Y: np.ndarray, counts: np.ndarray,
         # noise floor; singular values below it are indistinguishable
         # from zero and are clamped so Minka's -inf cutoff for exactly
         # rank-deficient spectra (`ic.py:139-140` analog) still fires.
+        if W1 is not None:
+            H1 = wls_intercept_batch(Y, counts, W1)
+            residual = jnp.asarray(Y) - jnp.asarray(W1) @ H1
+        else:
+            residual = jnp.asarray(Y)
         svals = np.asarray(tall_svd_singular_values(residual))
         floor = np.sqrt(np.finfo(np.asarray(svals).dtype).eps)
         svals = np.where(svals < 2.0 * floor * svals.max(initial=0.0),

@@ -115,9 +115,9 @@ def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
                                     tol_relative=tol_relative)
 
     if ic == "minka":
-        best_n_u, minka_result = select_rank_minka(
-            np.asarray(y), np.asarray(d),
-            None if ref is None else np.asarray(ref))
+        # pass the (possibly sharded) arrays through: minka keeps the
+        # residual on device for large/distributed inputs
+        best_n_u, minka_result = select_rank_minka(y, d, ref)
         u, _, alpha = _run_deconv(y, d, ref, best_n_u, init_option,
                                   key, iter1, iter2, tol)
         neg_ll = [-v for v in minka_result["log_liks"].values()]

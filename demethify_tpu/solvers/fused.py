@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from demethify_tpu.ops.cost import weighted_cost_gram
-from demethify_tpu.ops.gram import accum_dtype
+from demethify_tpu.ops.gram import accum_dtype, known_block_grams
 from demethify_tpu.ops.pallas_small import alpha_phase, fw_phase
 from demethify_tpu.ops.pallas_kernels import (
     MEGA_TILE,
@@ -60,18 +60,6 @@ def auto_tile(n_u: int, n_s: int, n_ct: int = 0) -> int:
 def _cost_t(yt, dt, rt_full, alpha):
     resid = yt - alpha.T @ rt_full
     return jnp.sum(dt * resid * resid)
-
-
-def _known_grams_t(rtt, dt, yt, acc):
-    """Loop-invariant Gram blocks from transposed operands.
-
-    G_tt: (n_s, n_ct, n_ct), b_t: (n_ct, n_s), ydy: (n_s,).
-    """
-    G_tt = jnp.einsum("pi,si,qi->spq", rtt, dt, rtt,
-                      preferred_element_type=acc)
-    b_t = jnp.einsum("pi,si->ps", rtt, dt * yt, preferred_element_type=acc)
-    ydy = jnp.sum((dt * yt * yt).astype(acc), axis=1)
-    return G_tt, b_t, ydy
 
 
 def _assemble_grams(G_tt, b_t, gu, b_u, n_ct: int):
@@ -109,7 +97,9 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
     l_h0 = jnp.sum(rt0 * rt0) * dmax2
     cf0 = _cost_t(yt.astype(dtype), dt.astype(dtype), rt0, alpha)
     tol = tol * cf0 if tol_relative else tol
-    G_tt, b_t, ydy = _known_grams_t(rtt, dt, yt, dtype)
+    # loop-invariant known-block Grams from the pre-pad arrays
+    # (single implementation shared with the XLA solvers)
+    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
     rt_sq = jnp.sum(rtt.astype(dtype) ** 2)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
@@ -238,7 +228,9 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
     cf0 = _cost_t(yt.astype(dtype), dt.astype(dtype), rt0, alpha)
     tol = tol * cf0 if tol_relative else tol
-    G_tt, b_t, ydy = _known_grams_t(rtt, dt, yt, dtype)
+    # loop-invariant known-block Grams from the pre-pad arrays
+    # (single implementation shared with the XLA solvers)
+    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))

@@ -49,3 +49,13 @@ def test_requires_methfreq_and_outdir():
         build_parser().parse_args(["--outdir", "o"])
     with pytest.raises(SystemExit):
         build_parser().parse_args(["--methfreq", "a.bed"])
+
+
+def test_multihost_rejects_confidence_and_ic(tmp_path, capsys):
+    import pytest
+    from demethify_tpu.cli import main
+    for extra in (["--confidence", "95", "8"], ["--ic", "AIC"]):
+        with pytest.raises(SystemExit):
+            main(["--methfreq", "x.csv", "--ref", "r.csv", "--outdir",
+                  str(tmp_path), "--noprint", "--platform", "cpu",
+                  "--multihost", "localhost:1", "2", "0"] + extra)
