@@ -25,14 +25,14 @@ while_loop state transposed and transposes once at entry/exit.
 All kernels run in interpret mode off-TPU so the same tests cover them on
 the CPU mesh.
 
-MEASURED (TPU v5e, 1M sites x 10 samples, n_u=1): the UNROLLED XLA gram
-path (ops/fista.py `_run_steps`) turns the inner FISTA loop into one fused
-elementwise kernel at 0.23 ms/outer-iter — already at its HBM traffic
-bound — and XLA's einsum grams run 0.22 ms vs 0.9 ms for `grams` here
-(tiny-M matmuls underutilize the MXU in this hand-written schedule). The
-default solvers therefore use the unrolled XLA path; these kernels are kept
-as tested infrastructure (trajectory-identical, see tests/test_pallas.py)
-and as the starting point for further Mosaic-level tuning.
+The DEFAULT single-device solver path is `u_phase_grams` (the
+outer-iteration megakernel, below) via solvers/fused.py. MEASURED (TPU
+v5e, 1M sites x 10 samples, n_u=1, device time from jax.profiler): the
+megakernel solver runs 0.16-0.19 ms/outer-iter against a 0.144 ms HBM
+traffic bound, vs 0.568 ms for the XLA Gram-form solver. `u_phase` and
+`grams` are kept as tested single-phase infrastructure; the small
+LANE_TILE default they use predates the tile study (larger tiles
+amortize per-grid-step overhead — see MEGA_TILE).
 """
 
 import functools
@@ -212,7 +212,7 @@ def u_phase(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
 # the reference's update semantics (`demethify/deconvolution.py:190-223`).
 # ---------------------------------------------------------------------------
 
-MEGA_TILE = 16384
+MEGA_TILE = 24576   # measured best on v5e (0.191 vs 0.217 ms/iter at 16384)
 
 
 def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
