@@ -119,6 +119,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help='Row-shard the CpG axis across all local '
                              'devices (multi-chip); Gram reductions run '
                              'as psum collectives over ICI')
+    parser.add_argument('--savestate', nargs='?', default=None,
+                        help='Save the converged factor state (U, alpha, '
+                             'cost) as an orbax checkpoint at this path '
+                             '(sharding-preserving; see checkpoint.py)')
+    parser.add_argument('--initstate', nargs='?', default=None,
+                        help='Warm-start the solver from a --savestate '
+                             'checkpoint instead of --init (resume / '
+                             'refine a previous run)')
     parser.add_argument('--multihost', nargs=3, default=None,
                         metavar=('COORD', 'NPROC', 'PID'),
                         help='Join a multi-host run: coordinator '
@@ -143,6 +151,14 @@ def main(argv=None):
         jax.config.update('jax_enable_x64', True)
 
     import jax
+
+    if args.initstate and (args.ic or
+                           (args.ref and not args.nbunknown)):
+        sys.stderr.write(
+            "Error: --initstate warm-starts the iterative solvers; it "
+            "cannot be used with --ic or the reference-based "
+            "(no --nbunknown) mode.\n")
+        sys.exit(1)
 
     if args.multihost and (args.confidence or args.ic):
         sys.stderr.write(
@@ -334,6 +350,21 @@ def main(argv=None):
     # ------------------------------------------------------------------
     # point estimate (reference demethify.py:154-217)
     # ------------------------------------------------------------------
+    init_provided = None
+    if args.initstate:
+        from demethify_tpu.checkpoint import load_factors
+        state = load_factors(args.initstate)
+        u0 = jnp.asarray(np.asarray(state["u"]), y.dtype)
+        a0 = jnp.asarray(np.asarray(state["alpha"]), y.dtype)
+        if u0.shape[0] < y.shape[0]:      # row-padded device arrays
+            u0 = jnp.pad(u0, ((0, y.shape[0] - u0.shape[0]), (0, 0)))
+        if u0.shape[0] != y.shape[0]:
+            sys.stderr.write(
+                f"Error: --initstate factor rows ({u0.shape[0]}) do not "
+                f"match the input CpG rows ({y.shape[0]}).\n")
+            sys.exit(1)
+        init_provided = (u0, a0)
+
     list_ic = None
     ic_n_u = None
     res = None
@@ -356,7 +387,8 @@ def main(argv=None):
                                   n_iter2=args.iterations[1],
                                   tol=termination,
                                   tol_relative=args.reltol,
-                                  record_trace=args.trace)
+                                  record_trace=args.trace,
+                                  init_provided=init_provided)
         proportions = res.proportions
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         header = unknown_header
@@ -370,7 +402,8 @@ def main(argv=None):
                                 n_iter2=args.iterations[1],
                                 tol=termination,
                                 tol_relative=args.reltol,
-                                record_trace=args.trace)
+                                record_trace=args.trace,
+                                init_provided=init_provided)
         else:
             res = partial_reference_deconv(y, d, ref_mat, n_u,
                                            init=args.init, key=key,
@@ -379,7 +412,8 @@ def main(argv=None):
                                            n_iter2=args.iterations[1],
                                            tol=termination,
                                            tol_relative=args.reltol,
-                                           record_trace=args.trace)
+                                           record_trace=args.trace,
+                                           init_provided=init_provided)
         proportions = res.proportions
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         header += unknown_header
@@ -391,6 +425,12 @@ def main(argv=None):
         sys.exit(f'Invalid number of unknown value! : "{n_u}" ')
 
     profile_ctx.__exit__(None, None, None)
+    if args.savestate and res is not None:
+        from demethify_tpu.checkpoint import save_factors
+        state = {"alpha": res.proportions, "cost": res.cost}
+        if res.u is not None:
+            state["u"] = res.u
+        save_factors(args.savestate, **state)
     time_tot = time() - time_start
     if res is not None:
         stats.finish(res.n_iter)

@@ -228,3 +228,25 @@ class TestRemainingCLIPaths:
              "--iterations", "50", "10")
         got = _read_props(tmp_path / "celltypes_proportions.csv")
         assert got.shape == (6, 10)
+
+
+class TestSaveInitState:
+    def test_warm_start_resumes(self, tmp_path):
+        ck = str(tmp_path / "state")
+        _run(tmp_path / "a", "--ref", REF, "--nbunknown", "1",
+             "--iterations", "150", "8", "--savestate", ck)
+        _run(tmp_path / "b", "--ref", REF, "--nbunknown", "1",
+             "--iterations", "150", "8", "--initstate", ck)
+        a = _read_props(tmp_path / "a" / "celltypes_proportions.csv")
+        b = _read_props(tmp_path / "b" / "celltypes_proportions.csv")
+        np.testing.assert_allclose(a.values, b.values, atol=1e-4)
+        # warm start must converge (almost) immediately
+        with open(tmp_path / "b" / "log.log") as f:
+            log = f.read()
+        n_iter = int(log.split(" outer iterations")[0].rsplit(" ", 1)[-1])
+        assert n_iter <= 2
+
+    def test_initstate_rejected_for_supervised_and_ic(self, tmp_path):
+        ck = str(tmp_path / "state")
+        with pytest.raises(SystemExit):
+            _run(tmp_path / "c", "--ref", REF, "--initstate", ck)
