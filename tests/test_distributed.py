@@ -48,6 +48,44 @@ class TestMultiProcessE2E:
                "--iterations", "40", "5", "--seed", "3"] + extra
         return cmd
 
+    def test_two_process_purity_matches_single(self, tmp_path):
+        import os
+        import socket
+        import subprocess
+
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env.pop("JAX_PLATFORMS", None)
+        purity = ["--purity"] + [str(50 + 4 * i) for i in range(10)] + \
+                 ["--iterations", "10", "20"]
+
+        out1 = tmp_path / "single"
+        cmd = self._run_cli(["--outdir", str(out1)], env)
+        # replace the partial-ref iteration schedule with the purity one
+        i = cmd.index("--iterations")
+        cmd = cmd[:i] + purity + cmd[i + 3:]
+        subprocess.run(cmd, check=True, env=env, cwd="/root/repo",
+                       timeout=300)
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        out2 = tmp_path / "multi"
+        procs = []
+        for pid in (0, 1):
+            cmd = self._run_cli(["--outdir", str(out2), "--multihost",
+                                 f"localhost:{port}", "2", str(pid)], env)
+            i = cmd.index("--iterations")
+            cmd = cmd[:i] + purity + cmd[i + 3:]
+            procs.append(subprocess.Popen(cmd, env=env, cwd="/root/repo"))
+        for pr in procs:
+            assert pr.wait(timeout=300) == 0
+
+        import pandas as pd
+        got = pd.read_csv(out2 / "celltypes_proportions.csv", index_col=0)
+        want = pd.read_csv(out1 / "celltypes_proportions.csv", index_col=0)
+        np.testing.assert_allclose(got.values, want.values, atol=1e-8)
+
     def test_two_process_cli_matches_single(self, tmp_path):
         import os
         import socket
