@@ -14,7 +14,6 @@ Usage:
 import os
 from typing import Any, Dict, Optional
 
-import jax
 
 
 def _checkpointer():

@@ -24,7 +24,6 @@ form reads each operand once). Beyond the limit we fall back to fori_loop
 to bound compile time.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

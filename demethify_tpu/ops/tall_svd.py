@@ -15,7 +15,6 @@ tall matrix ever happens. Used by NNDSVD init, Minka rank selection, and
 SVD feature selection at scale.
 """
 
-import jax
 import jax.numpy as jnp
 
 

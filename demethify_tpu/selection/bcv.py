@@ -14,7 +14,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def bicross_validation(y, counts, n_u: int, *, ref=None,
