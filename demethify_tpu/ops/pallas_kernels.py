@@ -321,7 +321,8 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
             carry = body(None, carry)
         u, up, _, _ = carry
     else:
-        chunk = next(c for c in (16, 10, 8, 5, 4, 2, 1)
+        chunk = next(c for c in (125, 100, 64, 50, 32, 25, 20, 16, 10,
+                                 8, 5, 4, 2, 1)
                      if n_steps % c == 0)
 
         def chunk_body(_, carry):
