@@ -30,3 +30,9 @@ from demethify_tpu.solvers.api import (  # noqa: F401
 from demethify_tpu.selection.sweep import evaluate_best_ic  # noqa: F401
 from demethify_tpu.uncertainty.bootstrap import bootstrap_ci  # noqa: F401
 from demethify_tpu.io.readers import Dataset, load_dataset  # noqa: F401
+from demethify_tpu.solvers.fused import (  # noqa: F401
+    partial_ref_solve_fused,
+    purity_solve_fused,
+    unsupervised_solve_fused,
+)
+from demethify_tpu.checkpoint import load_factors, save_factors  # noqa: F401

@@ -123,6 +123,30 @@ class TestFusedSolvers:
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                    atol=1e-8)
 
+    @pytest.mark.parametrize("tile", [64, 128])
+    def test_partial_ref_trajectory_multitile(self, small_problem, tile):
+        # small tile -> multiple grid steps: exercises the megakernel's
+        # cross-tile Gram accumulation (pl.when k==0 / k>0 branches) and
+        # the lane padding of the last tile
+        p = small_problem
+        y, d, Rt, n_u = p["y"], p["d"], p["R_trunc"], p["n_u"]
+        rng = np.random.default_rng(16)
+        u0 = rng.uniform(size=(y.shape[0], n_u))
+        a0 = rng.dirichlet(np.ones(Rt.shape[1] + n_u), size=y.shape[1]).T
+
+        want = partial_ref_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), n_u,
+            n_iter1=8, n_iter2=5, tol=1e-9)
+        got = partial_ref_solve_fused(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), n_u,
+            n_iter1=8, n_iter2=5, tol=1e-9, tile=tile)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   atol=1e-8)
+
     def test_unsupervised_trajectory_direct_dataflow(self, small_problem):
         # n_u^2 > 3 n_s selects the kernel's DIRECT u-gradient dataflow
         # (pallas_kernels use_gram heuristic) — must match the XLA solver
