@@ -202,3 +202,193 @@ def fw_phase(G, b, alpha1, alpha2, purity, n_steps: int):
     )(G.astype(dtype), b.astype(dtype), alpha,
       purity.astype(dtype).reshape(1, n_s))
     return out[:p1], out[p1:]
+
+
+# ---------------------------------------------------------------------------
+# fused glue kernels: assemble Grams + whole alpha loop + Lipschitz/cost
+# scalars in ONE launch (consumes the megakernel's raw outputs directly,
+# leaving zero XLA-level small-op glue per outer iteration)
+# ---------------------------------------------------------------------------
+
+def _assemble_G_b(gtt_ref, bt_ref, gu_ref, bu_ref, n_ct):
+    gu = gu_ref[:]                               # (n_s, n_u, p)
+    if n_ct:
+        g_ut = gu[:, :, :n_ct]                   # (n_s, n_u, n_ct)
+        top = jnp.concatenate([gtt_ref[:], jnp.swapaxes(g_ut, 1, 2)],
+                              axis=2)
+        G = jnp.concatenate([top, gu], axis=1)
+        b = jnp.concatenate([bt_ref[:], bu_ref[:]], axis=0)
+    else:
+        G, b = gu, bu_ref[:]
+    return G, b
+
+
+def _cost_from_grad(ydy, b, alpha, grad):
+    """cost = sum ydy - sum(b*a) - sum(a*grad) with grad = b - G a
+    (exactly weighted_cost_gram up to reassociation)."""
+    return (jnp.sum(ydy) - jnp.sum(b * alpha) - jnp.sum(alpha * grad))
+
+
+def _alpha_full_kernel(scal_ref, gtt_ref, bt_ref, gu_ref, bu_ref,
+                       usq_ref, ydy_ref, a_ref, ap_ref,
+                       a_out_ref, ap_out_ref, out_ref, *, n_steps, p,
+                       n_s, n_ct, n_u, row_mask_ref):
+    a0_init = scal_ref[0, 0]
+    l_h_prev0 = scal_ref[0, 1]
+    rt_sq = scal_ref[0, 2]
+    dmax2 = scal_ref[0, 3]
+    G, b = _assemble_G_b(gtt_ref, bt_ref, gu_ref, bu_ref, n_ct)
+    l_h = (rt_sq + usq_ref[0, 0]) * dmax2
+
+    def body(_, carry):
+        alpha, ap, a, l_prev = carry
+        a0 = a
+        a2 = (1.0 + jnp.sqrt(1.0 + 4.0 * a0 * a0)) / 2.0
+        beta = jnp.minimum((a0 - 1.0) / a2,
+                           0.9999 * jnp.sqrt(l_prev / l_h))
+        a_t = alpha + beta * (alpha - ap)
+        grad = _grad_from_grams(G, b, a_t, p, n_s)
+        v = a_t + grad / l_h
+        if row_mask_ref is not None:
+            v = jnp.where(row_mask_ref[:] > 0, v, -1e30)
+        a_new = _project_cols(v, p)
+        return (a_new, alpha, a2, l_h)
+
+    alpha, ap, a_fin, l_prev_fin = jax.lax.fori_loop(
+        0, n_steps, body, (a_ref[:], ap_ref[:], a0_init, l_h_prev0))
+    a_out_ref[:] = alpha
+    ap_out_ref[:] = ap
+
+    grad = _grad_from_grams(G, b, alpha, p, n_s)
+    cost = _cost_from_grad(ydy_ref[:], b, alpha, grad)
+    a2blk = alpha[p - n_u:]
+    l_w = jnp.sum(a2blk * a2blk) * dmax2
+    out_ref[:] = jnp.stack([a_fin, l_prev_fin, l_w,
+                            cost]).reshape(1, 4)
+
+
+def alpha_phase_full(gtt, bt, gu, bu, usq, ydy, alpha, alpha_prev,
+                     a, l_h_prev, rt_sq, dmax2, n_steps: int, n_u: int,
+                     row_mask=None):
+    """One launch: Gram assembly + alpha FISTA loop + l_h/l_w/cost.
+
+    gtt (n_s, n_ct, n_ct) / bt (n_ct, n_s) are the loop-invariant known
+    blocks (empty n_ct=0 for unsupervised); gu (n_s, n_u, p) / bu
+    (n_u, n_s) / usq (scalar) come from the u_phase_grams megakernel.
+    Returns (alpha, alpha_prev, a_new, l_h_prev_new, l_w_new, cost).
+    """
+    p, n_s = alpha.shape
+    n_ct = p - n_u
+    dtype = alpha.dtype
+    scal = jnp.reshape(jnp.stack([a.astype(dtype),
+                                  l_h_prev.astype(dtype),
+                                  jnp.asarray(rt_sq, dtype),
+                                  jnp.asarray(dmax2, dtype)]), (1, 4))
+    if n_ct == 0:
+        gtt = jnp.zeros((n_s, 1, 1), dtype)
+        bt = jnp.zeros((1, n_s), dtype)
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
+                full(gtt.shape), full(bt.shape), full(gu.shape),
+                full(bu.shape), full((1, 1)), full((1, n_s)),
+                full(alpha.shape), full(alpha.shape)]
+    args = [scal, gtt.astype(dtype), bt.astype(dtype), gu.astype(dtype),
+            bu.astype(dtype), usq.astype(dtype).reshape(1, 1),
+            ydy.astype(dtype).reshape(1, n_s), alpha, alpha_prev]
+    if row_mask is not None:
+        in_specs.append(full((p, 1)))
+        args.append(row_mask.astype(dtype).reshape(p, 1))
+
+        def kern(scal_ref, gtt_ref, bt_ref, gu_ref, bu_ref, usq_ref,
+                 ydy_ref, a_ref, ap_ref, mask_ref, a_out, ap_out, out):
+            _alpha_full_kernel(scal_ref, gtt_ref, bt_ref, gu_ref, bu_ref,
+                               usq_ref, ydy_ref, a_ref, ap_ref,
+                               a_out, ap_out, out, n_steps=n_steps, p=p,
+                               n_s=n_s, n_ct=n_ct, n_u=n_u,
+                               row_mask_ref=mask_ref)
+    else:
+        kern = functools.partial(_alpha_full_kernel, n_steps=n_steps, p=p,
+                                 n_s=n_s, n_ct=n_ct, n_u=n_u,
+                                 row_mask_ref=None)
+
+    a_new, ap_new, out = pl.pallas_call(
+        kern,
+        in_specs=in_specs,
+        out_specs=[full(alpha.shape), full(alpha.shape), full((1, 4))],
+        out_shape=[jax.ShapeDtypeStruct(alpha.shape, dtype)] * 2
+        + [jax.ShapeDtypeStruct((1, 4), dtype)],
+        interpret=_interpret(),
+    )(*args)
+    return (a_new, ap_new, out[0, 0], out[0, 1], out[0, 2], out[0, 3])
+
+
+def _fw_full_kernel(scal_ref, gtt_ref, bt_ref, gu_ref, bu_ref,
+                    ydy_ref, a_ref, pur_ref, a_out_ref, out_ref, *,
+                    n_steps, p, p1, n_s, n_ct, n_u):
+    dmax2 = scal_ref[0, 0]
+    G, b = _assemble_G_b(gtt_ref, bt_ref, gu_ref, bu_ref, n_ct)
+    purity = pur_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, n_s), 0)
+    in_known = (row < p1)
+
+    def body(k, alpha):
+        grad = -_grad_from_grams(G, b, alpha, p, n_s)
+        big = jnp.asarray(3.4e38, grad.dtype)
+        g1 = jnp.where(in_known, grad, big)
+        g2 = jnp.where(in_known, big, grad)
+        m1 = jnp.min(g1, axis=0, keepdims=True)
+        m2 = jnp.min(g2, axis=0, keepdims=True)
+        tri = jnp.tril(jnp.ones((p, p), grad.dtype))
+        is1 = (g1 == m1).astype(grad.dtype)
+        csum1 = jax.lax.dot_general(tri, is1, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=grad.dtype)
+        first1 = (csum1 * is1) == 1.0
+        is2 = (g2 == m2).astype(grad.dtype)
+        csum2 = jax.lax.dot_general(tri, is2, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=grad.dtype)
+        first2 = (csum2 * is2) == 1.0
+        s = (first1.astype(grad.dtype) * purity
+             + first2.astype(grad.dtype) * (1.0 - purity))
+        gamma = 2.0 / (k.astype(grad.dtype) + 2.0)
+        return (1.0 - gamma) * alpha + gamma * s
+
+    alpha = jax.lax.fori_loop(0, n_steps, body, a_ref[:])
+    a_out_ref[:] = alpha
+
+    grad = _grad_from_grams(G, b, alpha, p, n_s)
+    cost = _cost_from_grad(ydy_ref[:], b, alpha, grad)
+    a2blk = alpha[p - n_u:]
+    out_ref[:] = jnp.stack([jnp.sum(a2blk * a2blk) * dmax2,
+                            cost]).reshape(1, 2)
+
+
+def fw_phase_full(gtt, bt, gu, bu, ydy, alpha, purity, dmax2,
+                  n_steps: int, n_u: int):
+    """One launch: Gram assembly + whole Frank-Wolfe loop + l_w/cost.
+
+    Returns (alpha, l_w_new, cost); alpha stacked [known; unknown].
+    """
+    p, n_s = alpha.shape
+    n_ct = p - n_u
+    p1 = n_ct
+    dtype = alpha.dtype
+    scal = jnp.reshape(jnp.asarray(dmax2, dtype), (1, 1))
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, memory_space=pltpu.VMEM)
+    out_a, out = pl.pallas_call(
+        functools.partial(_fw_full_kernel, n_steps=n_steps, p=p, p1=p1,
+                          n_s=n_s, n_ct=n_ct, n_u=n_u),
+        in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+                  full(gtt.shape), full(bt.shape), full(gu.shape),
+                  full(bu.shape), full((1, n_s)), full(alpha.shape),
+                  full((1, n_s))],
+        out_specs=[full(alpha.shape), full((1, 2))],
+        out_shape=[jax.ShapeDtypeStruct(alpha.shape, dtype),
+                   jax.ShapeDtypeStruct((1, 2), dtype)],
+        interpret=_interpret(),
+    )(scal, gtt.astype(dtype), bt.astype(dtype), gu.astype(dtype),
+      bu.astype(dtype), ydy.astype(dtype).reshape(1, n_s), alpha,
+      purity.astype(dtype).reshape(1, n_s))
+    return out_a, out[0, 0], out[0, 1]

@@ -28,9 +28,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from demethify_tpu.ops.cost import weighted_cost_gram
 from demethify_tpu.ops.gram import accum_dtype, known_block_grams
-from demethify_tpu.ops.pallas_small import alpha_phase, fw_phase
+from demethify_tpu.ops.pallas_small import alpha_phase_full, fw_phase_full
 from demethify_tpu.ops.pallas_kernels import (
     MEGA_TILE,
     _pad_lanes,
@@ -60,16 +59,6 @@ def auto_tile(n_u: int, n_s: int, n_ct: int = 0) -> int:
 def _cost_t(yt, dt, rt_full, alpha):
     resid = yt - alpha.T @ rt_full
     return jnp.sum(dt * resid * resid)
-
-
-def _assemble_grams(G_tt, b_t, gu, b_u, n_ct: int):
-    """Full per-sample Gram system from the invariant known block plus the
-    megakernel's u rows ``gu[s, u, :] = u' diag(d_s) [Rt | u]``."""
-    g_ut = gu[:, :, :n_ct]                      # (n_s, n_u, n_ct)
-    top = jnp.concatenate([G_tt, jnp.swapaxes(g_ut, 1, 2)], axis=2)
-    G = jnp.concatenate([top, gu], axis=1)
-    b = jnp.concatenate([b_t, b_u], axis=0)
-    return G, b
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
@@ -117,15 +106,10 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
             yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut, upt,
             a1, l_w, l_w_prev, n_iter2, tile=tile)
 
-        G, b = _assemble_grams(G_tt, b_t, gu, b_u, n_ct)
-        l_h = (rt_sq + usq) * dmax2
-
-        alpha, alpha_prev, a2, l_h_prev = alpha_phase(
-            G, b, alpha, alpha_prev, a2, l_h_prev, l_h, n_iter2,
+        alpha, alpha_prev, a2, l_h_prev, l_w, cf_new = alpha_phase_full(
+            G_tt, b_t, gu, b_u, usq, ydy, alpha, alpha_prev,
+            a2, l_h_prev, rt_sq, dmax2, n_iter2, n_u,
             row_mask=row_mask)
-
-        l_w = jnp.sum(alpha[-n_u:] ** 2) * dmax2
-        cf_new = weighted_cost_gram(G, b, ydy, alpha)
 
         if record_trace:
             trace = trace.at[k].set(cf_new)
@@ -181,14 +165,9 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
             yt, dt, None, None, alpha, ut, upt,
             a1, l_w, l_w_prev, n_iter2, lagged=True, tile=tile)
 
-        G, b = gu, b_u
-        l_h = usq * dmax2
-
-        alpha, alpha_prev, a2, l_h_prev = alpha_phase(
-            G, b, alpha, alpha_prev, a2, l_h_prev, l_h, n_iter2)
-
-        l_w = jnp.sum(alpha * alpha) * dmax2
-        cf_new = weighted_cost_gram(G, b, ydy, alpha)
+        alpha, alpha_prev, a2, l_h_prev, l_w, cf_new = alpha_phase_full(
+            None, None, gu, b_u, usq, ydy, alpha, alpha_prev,
+            a2, l_h_prev, 0.0, dmax2, n_iter2, n_u)
 
         if record_trace:
             trace = trace.at[k].set(cf_new)
@@ -246,14 +225,8 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
             yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut, upt,
             a1, l_w, l_w_prev, n_iter2, tile=tile)
 
-        G, b = _assemble_grams(G_tt, b_t, gu, b_u, n_ct)
-
-        alpha1, alpha2 = fw_phase(
-            G, b, alpha[:-n_u], alpha[-n_u:], purity, n_iter2)
-        alpha = jnp.concatenate([alpha1, alpha2], axis=0)
-
-        l_w = jnp.sum(alpha2 * alpha2) * dmax2
-        cf_new = weighted_cost_gram(G, b, ydy, alpha)
+        alpha, l_w, cf_new = fw_phase_full(
+            G_tt, b_t, gu, b_u, ydy, alpha, purity, dmax2, n_iter2, n_u)
 
         if record_trace:
             trace = trace.at[k].set(cf_new)
