@@ -3,6 +3,9 @@ import time
 
 import jax
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/demethify_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
