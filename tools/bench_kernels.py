@@ -1,4 +1,7 @@
 """Isolate per-outer-iteration phase costs on the TPU: XLA vs pallas variants."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 from functools import partial

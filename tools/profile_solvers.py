@@ -1,4 +1,7 @@
 """Device-time per outer iteration for the fused solvers (axon profiler)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import collections
 import glob
 import gzip
