@@ -250,3 +250,21 @@ class TestSaveInitState:
         ck = str(tmp_path / "state")
         with pytest.raises(SystemExit):
             _run(tmp_path / "c", "--ref", REF, "--initstate", ck)
+
+
+class TestBfloat16CLI:
+    def test_partial_ref_bf16(self, tmp_path):
+        argv = ["--methfreq", *SAMPLES, "--bedmethyl",
+                "--outdir", str(tmp_path), "--noprint",
+                "--dtype", "bfloat16", "--ref", REF, "--nbunknown", "1",
+                "--iterations", "120", "8"]
+        assert cli_main(argv) == 0
+        got = _read_props(tmp_path / "celltypes_proportions.csv")
+        want = _read_props(os.path.join(
+            GOLden, "output_partial_ref", "celltypes_proportions.csv"))
+        # bf16 storage, f32 accumulation: statistical agreement with the
+        # float64 golden run (random init differs anyway)
+        rmse = float(np.sqrt(((got.values - want.values) ** 2).mean()))
+        assert rmse < 0.12
+        sums = got.values.sum(axis=0)
+        np.testing.assert_allclose(sums, 1.0, atol=5e-2)
