@@ -192,3 +192,42 @@ class TestFusedSolvers:
                                    atol=1e-8)
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                    atol=1e-8)
+
+
+class TestFusedRowMask:
+    def test_masked_padded_solve_equals_lower_rank(self, small_problem):
+        """Fused solver with row_mask: a padded (n_u_max) solve whose
+        inactive u columns / alpha rows start at zero must equal the
+        unpadded lower-rank fused solve exactly (the compile-once sweep
+        contract, selection/batched_sweep.py)."""
+        p = small_problem
+        y, d, Rt = p["y"], p["d"], p["R_trunc"]
+        n_ct, n_s = Rt.shape[1], y.shape[1]
+        n_u, n_u_max = 1, 3
+        rng = np.random.default_rng(21)
+        u_small = rng.uniform(size=(y.shape[0], n_u))
+        a_small = rng.dirichlet(np.ones(n_ct + n_u), size=n_s).T
+        u_pad = np.zeros((y.shape[0], n_u_max))
+        u_pad[:, :n_u] = u_small
+        a_pad = np.zeros((n_ct + n_u_max, n_s))
+        a_pad[:n_ct] = a_small[:n_ct]
+        a_pad[n_ct:n_ct + n_u] = a_small[n_ct:]
+        mask = jnp.asarray(np.arange(n_ct + n_u_max) < n_ct + n_u)
+
+        want_u, want_a, want_info = partial_ref_solve_fused(
+            jnp.asarray(u_small), jnp.asarray(a_small), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), n_u,
+            n_iter1=12, n_iter2=6, tol=1e-9)
+        got_u, got_a, got_info = partial_ref_solve_fused(
+            jnp.asarray(u_pad), jnp.asarray(a_pad), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), n_u_max,
+            n_iter1=12, n_iter2=6, tol=1e-9, row_mask=mask)
+
+        got_u = np.asarray(got_u)
+        got_a = np.asarray(got_a)
+        np.testing.assert_array_equal(got_u[:, n_u:], 0.0)
+        np.testing.assert_array_equal(got_a[n_ct + n_u:], 0.0)
+        np.testing.assert_allclose(got_u[:, :n_u], np.asarray(want_u),
+                                   atol=1e-10)
+        np.testing.assert_allclose(got_a[:n_ct + n_u], np.asarray(want_a),
+                                   atol=1e-10)
