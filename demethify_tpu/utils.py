@@ -69,7 +69,9 @@ class SolveStats:
     def summary(self) -> str:
         return (f"solver: {self.outer_iters} outer iterations in "
                 f"{self.elapsed:.3f}s = "
-                f"{self.site_iters_per_s/1e6:.1f}M site-iters/s")
+                f"{self.site_iters_per_s/1e6:.1f}M site-iters/s "
+                f"(wall time incl. compilation; see bench.py for warm "
+                f"device throughput)")
 
 
 def write_cost_trace(outdir: str, trace, name: str = "cost_trajectory.csv"):
