@@ -268,3 +268,14 @@ class TestBfloat16CLI:
         assert rmse < 0.12
         sums = got.values.sum(axis=0)
         np.testing.assert_allclose(sums, 1.0, atol=5e-2)
+
+
+class TestTraceCLI:
+    def test_trace_writes_trajectory(self, tmp_path):
+        _run(tmp_path, "--ref", REF, "--nbunknown", "1",
+             "--iterations", "60", "5", "--trace")
+        tr = pd.read_csv(tmp_path / "cost_trajectory.csv")
+        assert list(tr.columns) == ["iteration", "cost"]
+        assert len(tr) >= 2
+        # termination is on |delta cost|; trajectory must be finite
+        assert np.isfinite(tr["cost"]).all()

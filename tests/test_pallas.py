@@ -231,3 +231,23 @@ class TestFusedRowMask:
                                    atol=1e-10)
         np.testing.assert_allclose(got_a[:n_ct + n_u], np.asarray(want_a),
                                    atol=1e-10)
+
+
+class TestFusedTrace:
+    def test_cost_trace_matches_xla(self, small_problem):
+        p = small_problem
+        y, d, Rt, n_u = p["y"], p["d"], p["R_trunc"], p["n_u"]
+        rng = np.random.default_rng(23)
+        u0 = rng.uniform(size=(y.shape[0], n_u))
+        a0 = rng.dirichlet(np.ones(Rt.shape[1] + n_u), size=y.shape[1]).T
+        kw = dict(n_iter1=10, n_iter2=5, tol=1e-9, record_trace=True)
+        want = partial_ref_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), n_u, **kw)[2]["trace"]
+        got = partial_ref_solve_fused(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), n_u, **kw)[2]["trace"]
+        w, g = np.asarray(want), np.asarray(got)
+        np.testing.assert_array_equal(np.isnan(w), np.isnan(g))
+        np.testing.assert_allclose(g[~np.isnan(g)], w[~np.isnan(w)],
+                                   rtol=1e-9)
