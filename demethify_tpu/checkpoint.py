@@ -31,14 +31,26 @@ def save_factors(path: str, **state: Any) -> str:
 
 
 def load_factors(path: str,
-                 like: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+                 like: Optional[Dict[str, Any]] = None,
+                 as_numpy: bool = False) -> Dict[str, Any]:
     """Restore factor state. When ``like`` provides template arrays
     (values with .sharding), restored arrays are placed with the same
-    sharding — a resumed run continues distributed without a gather."""
+    sharding — a resumed run continues distributed without a gather.
+    ``as_numpy`` forces host numpy leaves regardless of the sharding the
+    checkpoint was saved with — the safe form when restoring onto a
+    different device topology (the caller re-places onto its own mesh)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckpt = _checkpointer()
+    if as_numpy:
+        import jax
+        import numpy as np
+
+        tree = ckpt.metadata(path).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckpt.restore(path, restore_args=restore_args)
     if like is None:
         return ckpt.restore(path)
 

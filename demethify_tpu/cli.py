@@ -96,7 +96,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--dtype', choices=['float32', 'bfloat16',
                                             'float64'],
                         default='float32', help='Compute dtype on device')
-    parser.add_argument('--platform', nargs='?', default=None,
+    parser.add_argument('--platform', type=str, default=None,
                         help='Pin the JAX backend (e.g. cpu, tpu)')
     parser.add_argument('--icmax', nargs=1, type=int, default=[25],
                         help='Upper end of the --ic sweep range '
@@ -109,7 +109,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--trace', action='store_true',
                         help='Record and write the solver cost trajectory '
                              'to <outdir>/cost_trajectory.csv')
-    parser.add_argument('--profile', nargs='?', default=None,
+    parser.add_argument('--profile', type=str, default=None,
                         help='Write a JAX device profile trace to this '
                              'directory (view with xprof/TensorBoard)')
     parser.add_argument('--debugnans', action='store_true',
@@ -119,11 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help='Row-shard the CpG axis across all local '
                              'devices (multi-chip); Gram reductions run '
                              'as psum collectives over ICI')
-    parser.add_argument('--savestate', nargs='?', default=None,
+    parser.add_argument('--savestate', type=str, default=None,
                         help='Save the converged factor state (U, alpha, '
                              'cost) as an orbax checkpoint at this path '
                              '(sharding-preserving; see checkpoint.py)')
-    parser.add_argument('--initstate', nargs='?', default=None,
+    parser.add_argument('--initstate', type=str, default=None,
                         help='Warm-start the solver from a --savestate '
                              'checkpoint instead of --init (resume / '
                              'refine a previous run)')
@@ -353,16 +353,27 @@ def main(argv=None):
     init_provided = None
     if args.initstate:
         from demethify_tpu.checkpoint import load_factors
-        state = load_factors(args.initstate)
-        u0 = jnp.asarray(np.asarray(state["u"]), y.dtype)
-        a0 = jnp.asarray(np.asarray(state["alpha"]), y.dtype)
+        state = load_factors(args.initstate, as_numpy=True)
+        u0 = np.asarray(state["u"]).astype(y.dtype)
+        a0 = np.asarray(state["alpha"]).astype(y.dtype)
         if u0.shape[0] < y.shape[0]:      # row-padded device arrays
-            u0 = jnp.pad(u0, ((0, y.shape[0] - u0.shape[0]), (0, 0)))
+            u0 = np.pad(u0, ((0, y.shape[0] - u0.shape[0]), (0, 0)))
         if u0.shape[0] != y.shape[0]:
             sys.stderr.write(
                 f"Error: --initstate factor rows ({u0.shape[0]}) do not "
                 f"match the input CpG rows ({y.shape[0]}).\n")
             sys.exit(1)
+        if args.multihost or (args.shard and len(jax.devices()) > 1):
+            # Restore ONTO the run's mesh: U row-sharded like y, alpha
+            # replicated. Multi-controller JAX requires global arrays —
+            # process-local single-device factors would fail inside the
+            # jitted solve over the global mesh.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            u0 = jax.device_put(u0, y.sharding)
+            a0 = jax.device_put(a0, NamedSharding(y.sharding.mesh, P()))
+        else:
+            u0 = jnp.asarray(u0)
+            a0 = jnp.asarray(a0)
         init_provided = (u0, a0)
 
     list_ic = None

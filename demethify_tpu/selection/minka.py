@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.special import gammaln
 
+from demethify_tpu.ops.gram import accum_dtype
 from demethify_tpu.ops.nnls import wls_intercept_batch
 from demethify_tpu.ops.tall_svd import tall_svd_singular_values
 
@@ -85,11 +86,13 @@ def select_rank_minka(Y: np.ndarray, counts: np.ndarray,
         # noise floor; singular values below it are indistinguishable
         # from zero and are clamped so Minka's -inf cutoff for exactly
         # rank-deficient spectra (`ic.py:139-140` analog) still fires.
+        acc = accum_dtype(jnp.asarray(Y))
         if W1 is not None:
             H1 = wls_intercept_batch(Y, counts, W1)
-            residual = jnp.asarray(Y) - jnp.asarray(W1) @ H1
+            residual = (jnp.asarray(Y).astype(acc)
+                        - jnp.asarray(W1).astype(acc) @ H1.astype(acc))
         else:
-            residual = jnp.asarray(Y)
+            residual = jnp.asarray(Y).astype(acc)
         svals = np.asarray(tall_svd_singular_values(residual))
         floor = np.sqrt(np.finfo(np.asarray(svals).dtype).eps)
         svals = np.where(svals < 2.0 * floor * svals.max(initial=0.0),

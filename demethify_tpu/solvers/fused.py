@@ -37,19 +37,22 @@ from demethify_tpu.ops.pallas_kernels import (
 )
 
 
-def auto_tile(n_u: int, n_s: int, n_ct: int = 0) -> int:
+def auto_tile(n_u: int, n_s: int, n_ct: int = 0,
+              itemsize: int = 4) -> int:
     """Largest lane tile whose per-step VMEM footprint stays within
     budget: double-buffered IO blocks (y, d, rt, 2x u in + 2x u out) plus
     the in-kernel temporaries (dy, dresid, du, c, m with its n_u^2 rows,
     folded FISTA carries). The n_u^2 curvature rows dominate for large
-    n_u, which is what shrinks the tile."""
+    n_u, which is what shrinks the tile. ``itemsize`` is the byte width
+    of the solver's accumulation dtype (8 under --dtype float64)."""
     # the n_u^2 curvature rows exist only in the kernel's gram dataflow
     # (pallas_kernels: use_gram = n_u^2 <= 3 n_s); the direct dataflow
     # trades them for per-step (n_s, T) temporaries
     curv = n_u * n_u if n_u * n_u <= 3 * n_s else 2 * n_s
-    bytes_per_lane = 4 * (2 * (2 * n_s + n_ct + 4 * n_u)   # IO, dbl-buf
-                          + 3 * n_s                         # dy/dresid/...
-                          + n_s * n_u + curv + 6 * n_u)
+    bytes_per_lane = itemsize * (
+        2 * (2 * n_s + n_ct + 4 * n_u)                     # IO, dbl-buf
+        + 3 * n_s                                          # dy/dresid/...
+        + n_s * n_u + curv + 6 * n_u)
     budget = 10 * 2 ** 20
     tile = budget // max(bytes_per_lane, 1)
     tile = (tile // 1024) * 1024
@@ -69,9 +72,10 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
                             tile: int = 0, tol_relative: bool = False,
                             row_mask=None):
     """Drop-in equivalent of partial_ref_solve (same trajectory)."""
-    if tile == 0:
-        tile = auto_tile(n_u, y.shape[1], R_trunc.shape[1])
     dtype = accum_dtype(y)
+    if tile == 0:
+        tile = auto_tile(n_u, y.shape[1], R_trunc.shape[1],
+                         itemsize=jnp.dtype(dtype).itemsize)
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
     n = y.shape[0]
@@ -134,9 +138,10 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
                              record_trace: bool = False,
                              tile: int = 0, tol_relative: bool = False):
     """Fused unsupervised NMF (R = U, lagged-gradient quirk preserved)."""
-    if tile == 0:
-        tile = auto_tile(n_u, y.shape[1])
     dtype = accum_dtype(y)
+    if tile == 0:
+        tile = auto_tile(n_u, y.shape[1],
+                         itemsize=jnp.dtype(dtype).itemsize)
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
     n = y.shape[0]
@@ -191,9 +196,10 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
                        tol: float = 1e-2, record_trace: bool = False,
                        tile: int = 0, tol_relative: bool = False):
     """Fused purity-constrained solver (Frank-Wolfe alpha on Grams)."""
-    if tile == 0:
-        tile = auto_tile(n_u, y.shape[1], R_trunc.shape[1])
     dtype = accum_dtype(y)
+    if tile == 0:
+        tile = auto_tile(n_u, y.shape[1], R_trunc.shape[1],
+                         itemsize=jnp.dtype(dtype).itemsize)
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
     n = y.shape[0]

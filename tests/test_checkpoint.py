@@ -21,6 +21,20 @@ def test_roundtrip_plain(tmp_path):
     assert int(state["step"]) == 17
 
 
+def test_sharded_save_numpy_restore(tmp_path):
+    # as_numpy=True must ignore the saved sharding entirely — the safe
+    # restore when the device topology changed between save and resume
+    mesh = make_mesh(jax.devices())
+    sh = cpg_sharding(mesh)
+    u_host = np.random.default_rng(3).uniform(size=(64, 2))
+    save_factors(str(tmp_path / "ckpt"),
+                 u=jax.device_put(u_host, sh), cost=np.float32(1.5))
+    state = load_factors(str(tmp_path / "ckpt"), as_numpy=True)
+    assert isinstance(state["u"], np.ndarray)
+    np.testing.assert_allclose(state["u"], u_host)
+    assert float(np.asarray(state["cost"])) == 1.5
+
+
 def test_roundtrip_sharded(tmp_path):
     mesh = make_mesh(jax.devices())
     sh = cpg_sharding(mesh)

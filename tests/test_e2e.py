@@ -251,6 +251,24 @@ class TestSaveInitState:
         with pytest.raises(SystemExit):
             _run(tmp_path / "c", "--ref", REF, "--initstate", ck)
 
+    def test_warm_start_onto_sharded_mesh(self, tmp_path):
+        # save unsharded, restore onto the 8-device cpg mesh (--shard):
+        # the CLI must place the factors with the run's global sharding
+        ck = str(tmp_path / "state")
+        _run(tmp_path / "a", "--ref", REF, "--nbunknown", "1",
+             "--iterations", "150", "8", "--savestate", ck)
+        _run(tmp_path / "b", "--ref", REF, "--nbunknown", "1",
+             "--iterations", "150", "8", "--shard", "--initstate", ck)
+        a = _read_props(tmp_path / "a" / "celltypes_proportions.csv")
+        b = _read_props(tmp_path / "b" / "celltypes_proportions.csv")
+        np.testing.assert_allclose(a.values, b.values, atol=1e-4)
+
+    def test_bare_savestate_flag_errors(self, tmp_path):
+        # a forgotten path must be a parse error, not a silent no-op
+        with pytest.raises(SystemExit):
+            _run(tmp_path, "--ref", REF, "--nbunknown", "1",
+                 "--iterations", "5", "2", "--savestate")
+
 
 class TestBfloat16CLI:
     def test_partial_ref_bf16(self, tmp_path):
