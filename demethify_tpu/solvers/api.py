@@ -37,16 +37,42 @@ _DETERMINISTIC_INITS = ("SVD", "ICA")
 def _use_fused(y) -> bool:
     """The Pallas megakernel path (solvers/fused.py) is the default on a
     single TPU device: one HBM pass per outer iteration, ~2.6x the XLA
-    Gram-form solver at 1M sites. Sharded inputs keep the XLA path (its
-    Gram reductions lower to psum over the mesh; pallas_call does not
-    auto-partition), as do vmapped restart batches and non-TPU backends
-    (interpret mode is for tests, not speed)."""
+    Gram-form solver at 1M sites. Vmapped restart batches and non-TPU
+    backends keep the XLA path (interpret mode is for tests, not
+    speed); multi-device row-sharded inputs take the shard_map form
+    (see _use_fused_sharded)."""
     if jax.default_backend() != "tpu":
         return False
     sharding = getattr(y, "sharding", None)
     if sharding is not None and len(sharding.device_set) > 1:
         return False
     return True
+
+
+def _use_fused_sharded(y) -> bool:
+    """Multi-device megakernel path: y row-sharded on a mesh 'cpg' axis
+    (CLI --shard / --multihost layout) with rows dividing the shard
+    count (the CLI zero-pads). Each device then runs the Pallas U-phase
+    on its local lane block inside shard_map (solvers/fused.py) instead
+    of falling back to the ~3.7x-slower XLA Gram path."""
+    if jax.default_backend() != "tpu":
+        return False
+    from jax.sharding import NamedSharding
+
+    from demethify_tpu.parallel.mesh import CPG_AXIS
+
+    sharding = getattr(y, "sharding", None)
+    if not isinstance(sharding, NamedSharding):
+        return False
+    if len(sharding.device_set) <= 1:
+        return False
+    mesh = sharding.mesh
+    if CPG_AXIS not in mesh.axis_names:
+        return False
+    spec = sharding.spec
+    if len(spec) < 1 or spec[0] != CPG_AXIS:
+        return False
+    return y.shape[0] % mesh.shape[CPG_AXIS] == 0
 
 
 def _is_deterministic(init, n_u, n_samples, init_provided):
@@ -144,6 +170,12 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
                 u0, a0, y, d, R_trunc, n_u,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
+    elif _use_fused_sharded(y):
+        def solve_single(u0, a0):
+            return fused.partial_ref_solve_fused_sharded(
+                u0, a0, y, d, R_trunc, n_u,
+                n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                tol_relative=tol_relative, record_trace=record_trace)
 
     det = _is_deterministic(init, n_u, y.shape[1], init_provided)
     u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det,
@@ -184,6 +216,12 @@ def purity_deconv(y, d, R_trunc, n_u: int, purity, *,
     if _use_fused(y):
         def solve_single(u0, a0):
             return fused.purity_solve_fused(
+                u0, a0, y, d, R_trunc, purity, n_u,
+                n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                tol_relative=tol_relative, record_trace=record_trace)
+    elif _use_fused_sharded(y):
+        def solve_single(u0, a0):
+            return fused.purity_solve_fused_sharded(
                 u0, a0, y, d, R_trunc, purity, n_u,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
@@ -228,6 +266,12 @@ def unsupervised_deconv(y, d, n_u: int, *,
     if _use_fused(y):
         def solve_single(u0, a0):
             return fused.unsupervised_solve_fused(
+                u0, a0, y, d, n_u,
+                n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                tol_relative=tol_relative, record_trace=record_trace)
+    elif _use_fused_sharded(y):
+        def solve_single(u0, a0):
+            return fused.unsupervised_solve_fused_sharded(
                 u0, a0, y, d, n_u,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)

@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from demethify_tpu.ops.gram import accum_dtype, known_block_grams
 from demethify_tpu.ops.pallas_small import alpha_phase_full, fw_phase_full
@@ -35,6 +36,16 @@ from demethify_tpu.ops.pallas_kernels import (
     _pad_lanes,
     u_phase_grams,
 )
+
+
+def _axis_sum(x, axis_name):
+    """Cross-shard sum when running inside shard_map over the CpG axis
+    (axis_name set); identity on a single device."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def _axis_max(x, axis_name):
+    return x if axis_name is None else jax.lax.pmax(x, axis_name)
 
 
 def auto_tile(n_u: int, n_s: int, n_ct: int = 0,
@@ -65,13 +76,20 @@ def _cost_t(yt, dt, rt_full, alpha):
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
-                                   "record_trace", "tile", "tol_relative"))
+                                   "record_trace", "tile", "tol_relative",
+                                   "axis_name"))
 def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
                             n_iter1: int = 10000, n_iter2: int = 20,
                             tol: float = 1e-2, record_trace: bool = False,
                             tile: int = 0, tol_relative: bool = False,
-                            row_mask=None):
-    """Drop-in equivalent of partial_ref_solve (same trajectory)."""
+                            row_mask=None, axis_name=None):
+    """Drop-in equivalent of partial_ref_solve (same trajectory).
+
+    With ``axis_name`` set the function runs inside shard_map over that
+    mesh axis: y/d/R_trunc/u are this device's CpG row block, every
+    cross-CpG reduction (cost, Grams, Lipschitz norms, max coverage)
+    psums over the axis, and the U FISTA phase stays shard-local.
+    """
     dtype = accum_dtype(y)
     if tile == 0:
         tile = auto_tile(n_u, y.shape[1], R_trunc.shape[1],
@@ -84,16 +102,18 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
     dt, _ = _pad_lanes(d.T, tile)
     rtt, _ = _pad_lanes(R_trunc.T, tile)
     ut, _ = _pad_lanes(u.T, tile)
-    dmax2 = jnp.max(d) ** 2
+    dmax2 = _axis_max(jnp.max(d), axis_name) ** 2
     rt0 = jnp.concatenate([rtt.astype(dtype), ut], axis=0)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
-    l_h0 = jnp.sum(rt0 * rt0) * dmax2
-    cf0 = _cost_t(yt.astype(dtype), dt.astype(dtype), rt0, alpha)
+    l_h0 = _axis_sum(jnp.sum(rt0 * rt0), axis_name) * dmax2
+    cf0 = _axis_sum(_cost_t(yt.astype(dtype), dt.astype(dtype), rt0,
+                            alpha), axis_name)
     tol = tol * cf0 if tol_relative else tol
     # loop-invariant known-block Grams from the pre-pad arrays
     # (single implementation shared with the XLA solvers)
-    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
-    rt_sq = jnp.sum(rtt.astype(dtype) ** 2)
+    G_tt, b_t, ydy = (_axis_sum(t, axis_name)
+                      for t in known_block_grams(R_trunc, d, y))
+    rt_sq = _axis_sum(jnp.sum(rtt.astype(dtype) ** 2), axis_name)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -109,6 +129,9 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
         ut, upt, a1, l_w_prev, gu, b_u, usq = u_phase_grams(
             yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut, upt,
             a1, l_w, l_w_prev, n_iter2, tile=tile)
+        gu = _axis_sum(gu, axis_name)
+        b_u = _axis_sum(b_u, axis_name)
+        usq = _axis_sum(usq, axis_name)
 
         alpha, alpha_prev, a2, l_h_prev, l_w, cf_new = alpha_phase_full(
             G_tt, b_t, gu, b_u, usq, ydy, alpha, alpha_prev,
@@ -131,12 +154,14 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
-                                   "record_trace", "tile", "tol_relative"))
+                                   "record_trace", "tile", "tol_relative",
+                                   "axis_name"))
 def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
                              n_iter1: int = 10000, n_iter2: int = 20,
                              tol: float = 1e-2,
                              record_trace: bool = False,
-                             tile: int = 0, tol_relative: bool = False):
+                             tile: int = 0, tol_relative: bool = False,
+                             axis_name=None):
     """Fused unsupervised NMF (R = U, lagged-gradient quirk preserved)."""
     dtype = accum_dtype(y)
     if tile == 0:
@@ -148,12 +173,14 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
     yt, _ = _pad_lanes(y.T, tile)
     dt, _ = _pad_lanes(d.T, tile)
     ut, _ = _pad_lanes(u.T, tile)
-    dmax2 = jnp.max(d) ** 2
+    dmax2 = _axis_max(jnp.max(d), axis_name) ** 2
     l_w0 = jnp.sum(alpha * alpha) * dmax2
-    l_h0 = jnp.sum(ut * ut) * dmax2
-    cf0 = _cost_t(yt.astype(dtype), dt.astype(dtype), ut, alpha)
+    l_h0 = _axis_sum(jnp.sum(ut * ut), axis_name) * dmax2
+    cf0 = _axis_sum(_cost_t(yt.astype(dtype), dt.astype(dtype), ut,
+                            alpha), axis_name)
     tol = tol * cf0 if tol_relative else tol
-    ydy = jnp.sum((dt * yt * yt).astype(dtype), axis=1)
+    ydy = _axis_sum(jnp.sum((dt * yt * yt).astype(dtype), axis=1),
+                    axis_name)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -169,6 +196,9 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
         ut, upt, a1, l_w_prev, gu, b_u, usq = u_phase_grams(
             yt, dt, None, None, alpha, ut, upt,
             a1, l_w, l_w_prev, n_iter2, lagged=True, tile=tile)
+        gu = _axis_sum(gu, axis_name)
+        b_u = _axis_sum(b_u, axis_name)
+        usq = _axis_sum(usq, axis_name)
 
         alpha, alpha_prev, a2, l_h_prev, l_w, cf_new = alpha_phase_full(
             None, None, gu, b_u, usq, ydy, alpha, alpha_prev,
@@ -190,11 +220,13 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
-                                   "record_trace", "tile", "tol_relative"))
+                                   "record_trace", "tile", "tol_relative",
+                                   "axis_name"))
 def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
                        n_iter1: int = 100, n_iter2: int = 500,
                        tol: float = 1e-2, record_trace: bool = False,
-                       tile: int = 0, tol_relative: bool = False):
+                       tile: int = 0, tol_relative: bool = False,
+                       axis_name=None):
     """Fused purity-constrained solver (Frank-Wolfe alpha on Grams)."""
     dtype = accum_dtype(y)
     if tile == 0:
@@ -208,14 +240,16 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
     dt, _ = _pad_lanes(d.T, tile)
     rtt, _ = _pad_lanes(R_trunc.T, tile)
     ut, _ = _pad_lanes(u.T, tile)
-    dmax2 = jnp.max(d) ** 2
+    dmax2 = _axis_max(jnp.max(d), axis_name) ** 2
     rt0 = jnp.concatenate([rtt.astype(dtype), ut], axis=0)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
-    cf0 = _cost_t(yt.astype(dtype), dt.astype(dtype), rt0, alpha)
+    cf0 = _axis_sum(_cost_t(yt.astype(dtype), dt.astype(dtype), rt0,
+                            alpha), axis_name)
     tol = tol * cf0 if tol_relative else tol
     # loop-invariant known-block Grams from the pre-pad arrays
     # (single implementation shared with the XLA solvers)
-    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
+    G_tt, b_t, ydy = (_axis_sum(t, axis_name)
+                      for t in known_block_grams(R_trunc, d, y))
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -230,6 +264,8 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
         ut, upt, a1, l_w_prev, gu, b_u, _ = u_phase_grams(
             yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut, upt,
             a1, l_w, l_w_prev, n_iter2, tile=tile)
+        gu = _axis_sum(gu, axis_name)
+        b_u = _axis_sum(b_u, axis_name)
 
         alpha, l_w, cf_new = fw_phase_full(
             G_tt, b_t, gu, b_u, ydy, alpha, purity, dmax2, n_iter2, n_u)
@@ -245,3 +281,96 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
     out = jax.lax.while_loop(cond, body, init)
     ut, _, alpha, _, _, _, cf, _, k, trace = out
     return ut[:, :n].T, alpha, {"cost": cf, "n_iter": k, "trace": trace}
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) megakernel solvers: shard_map over the 'cpg' mesh
+# axis. The U FISTA phase is row-local by construction (SURVEY.md §2b:
+# "no comms in the U step"), so each device runs the Pallas megakernel on
+# its own CpG lane block; only the O(p^2 n_s) Gram partials (gu, b_u, usq)
+# and the scalar norms psum over ICI per outer iteration. The alpha /
+# Frank-Wolfe phase runs replicated on every device (tiny tensors). The
+# trajectory equals the single-device fused solver up to the psum's
+# floating-point reassociation.
+# ---------------------------------------------------------------------------
+
+def _row_specs(mesh):
+    from demethify_tpu.parallel.mesh import CPG_AXIS
+
+    row = P(CPG_AXIS, None)
+    rep = P()
+    info = {"cost": rep, "n_iter": rep, "trace": rep}
+    return CPG_AXIS, row, rep, info
+
+
+def partial_ref_solve_fused_sharded(u, alpha, y, d, R_trunc, n_u: int,
+                                    n_iter1: int = 10000,
+                                    n_iter2: int = 20,
+                                    tol: float = 1e-2,
+                                    record_trace: bool = False,
+                                    tile: int = 0,
+                                    tol_relative: bool = False):
+    """Multi-chip form of partial_ref_solve_fused: y/d/R_trunc/u are
+    globally row-sharded on the 'cpg' mesh axis (CLI --shard/--multihost
+    layout); returns a row-sharded u and replicated alpha/info."""
+    mesh = y.sharding.mesh
+    axis, row, rep, info = _row_specs(mesh)
+
+    def local_fn(u_, a_, y_, d_, r_):
+        return partial_ref_solve_fused(
+            u_, a_, y_, d_, r_, n_u, n_iter1=n_iter1, n_iter2=n_iter2,
+            tol=tol, record_trace=record_trace, tile=tile,
+            tol_relative=tol_relative, axis_name=axis)
+
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(row, rep, row, row, row),
+                       out_specs=(row, rep, info),
+                       check_vma=False)
+    return fn(u, alpha, y, d, R_trunc)
+
+
+def unsupervised_solve_fused_sharded(u, alpha, y, d, n_u: int,
+                                     n_iter1: int = 10000,
+                                     n_iter2: int = 20,
+                                     tol: float = 1e-2,
+                                     record_trace: bool = False,
+                                     tile: int = 0,
+                                     tol_relative: bool = False):
+    """Multi-chip form of unsupervised_solve_fused."""
+    mesh = y.sharding.mesh
+    axis, row, rep, info = _row_specs(mesh)
+
+    def local_fn(u_, a_, y_, d_):
+        return unsupervised_solve_fused(
+            u_, a_, y_, d_, n_u, n_iter1=n_iter1, n_iter2=n_iter2,
+            tol=tol, record_trace=record_trace, tile=tile,
+            tol_relative=tol_relative, axis_name=axis)
+
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(row, rep, row, row),
+                       out_specs=(row, rep, info),
+                       check_vma=False)
+    return fn(u, alpha, y, d)
+
+
+def purity_solve_fused_sharded(u, alpha, y, d, R_trunc, purity, n_u: int,
+                               n_iter1: int = 100, n_iter2: int = 500,
+                               tol: float = 1e-2,
+                               record_trace: bool = False,
+                               tile: int = 0,
+                               tol_relative: bool = False):
+    """Multi-chip form of purity_solve_fused."""
+    mesh = y.sharding.mesh
+    axis, row, rep, info = _row_specs(mesh)
+
+    def local_fn(u_, a_, y_, d_, r_, p_):
+        return purity_solve_fused(
+            u_, a_, y_, d_, r_, p_, n_u, n_iter1=n_iter1,
+            n_iter2=n_iter2, tol=tol, record_trace=record_trace,
+            tile=tile, tol_relative=tol_relative, axis_name=axis)
+
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(row, rep, row, row, row, rep),
+                       out_specs=(row, rep, info),
+                       check_vma=False)
+    return fn(u, alpha, y, d, R_trunc, purity)

@@ -17,7 +17,10 @@ from demethify_tpu.parallel.mesh import (
 )
 from demethify_tpu.ops.gram import sample_grams
 from demethify_tpu.ops.nnls import wls_intercept_batch
+from demethify_tpu.solvers import fused
 from demethify_tpu.solvers.partial_ref import partial_ref_solve
+from demethify_tpu.solvers.purity import purity_solve
+from demethify_tpu.solvers.unsupervised import unsupervised_solve
 
 
 def _problem(n_cpg=256, n_s=4, n_ct=3, n_u=1, seed=0):
@@ -93,6 +96,116 @@ def test_sharded_supervised_matches():
     y_s, d_s, Rt_s = shard_dataset(mesh, y, d, Rt)
     got = np.asarray(jax.jit(wls_intercept_batch)(d_s * y_s, d_s, Rt_s))
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def _shard_inputs(mesh, y, d, Rt, u0, a0):
+    out = shard_dataset(mesh, y, d, Rt)
+    u0_s = jax.device_put(u0, cpg_sharding(mesh))
+    a0_s = jax.device_put(a0, NamedSharding(mesh, P()))
+    return (*out, u0_s, a0_s)
+
+
+def test_sharded_unsupervised_matches_local():
+    mesh = make_mesh(jax.devices())
+    y, d, _, u0, a0 = _problem(n_ct=0, n_u=4)
+    n_u = 4
+    u_ref, a_ref, info_ref = unsupervised_solve(
+        jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y), jnp.asarray(d),
+        n_u, n_iter1=12, n_iter2=5, tol=1e-9)
+    y_s, d_s, _, u0_s, a0_s = _shard_inputs(mesh, y, d, None, u0, a0)
+    u_sh, a_sh, info_sh = unsupervised_solve(
+        u0_s, a0_s, y_s, d_s, n_u, n_iter1=12, n_iter2=5, tol=1e-9)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref),
+                               atol=1e-9)
+    np.testing.assert_allclose(float(info_sh["cost"]),
+                               float(info_ref["cost"]), rtol=1e-9)
+
+
+def test_sharded_purity_matches_local():
+    mesh = make_mesh(jax.devices())
+    y, d, Rt, u0, a0 = _problem()
+    n_u = u0.shape[1]
+    purity = np.full(y.shape[1], 0.35)
+    u_ref, a_ref, info_ref = purity_solve(
+        jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y), jnp.asarray(d),
+        jnp.asarray(Rt), jnp.asarray(purity), n_u,
+        n_iter1=8, n_iter2=12, tol=1e-9)
+    y_s, d_s, Rt_s, u0_s, a0_s = _shard_inputs(mesh, y, d, Rt, u0, a0)
+    u_sh, a_sh, info_sh = purity_solve(
+        u0_s, a0_s, y_s, d_s, Rt_s, jnp.asarray(purity), n_u,
+        n_iter1=8, n_iter2=12, tol=1e-9)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref),
+                               atol=1e-9)
+
+
+class TestFusedSharded:
+    """The shard_map megakernel solvers must reproduce the XLA solver
+    trajectories on the 8-device CPU mesh (Pallas interpret mode)."""
+
+    def test_partial_ref_trajectory(self):
+        mesh = make_mesh(jax.devices())
+        y, d, Rt, u0, a0 = _problem()
+        n_u = u0.shape[1]
+        u_ref, a_ref, info_ref = partial_ref_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), n_u,
+            n_iter1=15, n_iter2=5, tol=1e-9, record_trace=True)
+        y_s, d_s, Rt_s, u0_s, a0_s = _shard_inputs(mesh, y, d, Rt, u0, a0)
+        u_sh, a_sh, info_sh = fused.partial_ref_solve_fused_sharded(
+            u0_s, a0_s, y_s, d_s, Rt_s, n_u,
+            n_iter1=15, n_iter2=5, tol=1e-9, record_trace=True)
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref),
+                                   atol=1e-8)
+        # full cost trajectory, not just the endpoint
+        np.testing.assert_allclose(np.asarray(info_sh["trace"]),
+                                   np.asarray(info_ref["trace"]),
+                                   rtol=1e-8)
+        assert len(u_sh.sharding.device_set) > 1
+
+    def test_unsupervised_trajectory(self):
+        mesh = make_mesh(jax.devices())
+        y, d, _, u0, a0 = _problem(n_ct=0, n_u=4)
+        n_u = 4
+        u_ref, a_ref, info_ref = unsupervised_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), n_u, n_iter1=12, n_iter2=5, tol=1e-9,
+            record_trace=True)
+        y_s, d_s, _, u0_s, a0_s = _shard_inputs(mesh, y, d, None, u0, a0)
+        u_sh, a_sh, info_sh = fused.unsupervised_solve_fused_sharded(
+            u0_s, a0_s, y_s, d_s, n_u,
+            n_iter1=12, n_iter2=5, tol=1e-9, record_trace=True)
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(info_sh["trace"]),
+                                   np.asarray(info_ref["trace"]),
+                                   rtol=1e-8)
+
+    def test_purity_trajectory(self):
+        mesh = make_mesh(jax.devices())
+        y, d, Rt, u0, a0 = _problem()
+        n_u = u0.shape[1]
+        purity = np.full(y.shape[1], 0.35)
+        u_ref, a_ref, info_ref = purity_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), jnp.asarray(purity), n_u,
+            n_iter1=8, n_iter2=12, tol=1e-9, record_trace=True)
+        y_s, d_s, Rt_s, u0_s, a0_s = _shard_inputs(mesh, y, d, Rt, u0, a0)
+        u_sh, a_sh, info_sh = fused.purity_solve_fused_sharded(
+            u0_s, a0_s, y_s, d_s, Rt_s, jnp.asarray(purity), n_u,
+            n_iter1=8, n_iter2=12, tol=1e-9, record_trace=True)
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(info_sh["trace"]),
+                                   np.asarray(info_ref["trace"]),
+                                   rtol=1e-8)
 
 
 def test_dryrun_entrypoints():
