@@ -160,20 +160,14 @@ def main(argv=None):
             "(no --nbunknown) mode.\n")
         sys.exit(1)
 
-    if args.multihost and (args.confidence or args.ic):
-        sys.stderr.write(
-            "Error: --multihost currently supports the four solver "
-            "paths only; run --confidence / --ic on a single host "
-            "(their replicate batches gather rows across shards and "
-            "their writers are not multi-process aware).\n")
-        sys.exit(1)
-
     proc_id = 0
+    n_procs = 1
     if args.multihost:
         from demethify_tpu.parallel.distributed import initialize
-        coord, nproc, proc_id = (args.multihost[0], int(args.multihost[1]),
-                                 int(args.multihost[2]))
-        initialize(coordinator_address=coord, num_processes=nproc,
+        coord, n_procs, proc_id = (args.multihost[0],
+                                   int(args.multihost[1]),
+                                   int(args.multihost[2]))
+        initialize(coordinator_address=coord, num_processes=n_procs,
                    process_id=proc_id)
 
     import jax.numpy as jnp
@@ -189,10 +183,6 @@ def main(argv=None):
     enable_compile_cache()
     if args.debugnans:
         enable_nan_debugging()
-    if args.dtype == 'bfloat16':
-        print("Warning: bfloat16 is experimental — the weighted-cost "
-              "accumulation saturates at scale, so use --reltol and treat "
-              "reported costs as approximate.")
 
     from demethify_tpu.io.readers import load_dataset
     from demethify_tpu.io.writers import (
@@ -272,6 +262,14 @@ def main(argv=None):
                       bedmethyl=args.bedmethyl, fillna=args.fillna,
                       dtype=np_dtype)
     n_cpg_orig = ds.meth_f.shape[0]
+    if not args.reltol:
+        from demethify_tpu.utils import termination_resolution_warning
+        cost_scale = float(np.einsum("is,is,is->", ds.counts, ds.meth_f,
+                                     ds.meth_f, dtype=np.float64))
+        msg = termination_resolution_warning(termination, cost_scale,
+                                             np_dtype)
+        if msg:
+            print(msg)
     dev_dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else None
     if args.multihost:
         from demethify_tpu.parallel.distributed import shard_dataset_global
@@ -319,7 +317,10 @@ def main(argv=None):
                                        unknown_header,
                                        suffix=f".part{proc_id:04d}",
                                        row_offset=start)
-        else:
+        elif proc_id == 0:
+            # fully-addressable factors (e.g. the multihost IC sweep's
+            # locally-recomputed winner) are identical on every process;
+            # one writer suffices
             write_profile_estimate(outdir,
                                    np.asarray(u_arr)[:n_cpg_orig],
                                    unknown_header)
@@ -334,18 +335,35 @@ def main(argv=None):
                              "bootstrap resamples the reference rows).\n")
             sys.exit(1)
         level, n_boot = args.confidence
+        if args.multihost:
+            # replicates partition across processes on host-full arrays
+            # (each host already parsed the full inputs); the percentile
+            # inputs are allgathered inside bootstrap_ci. Row-sharded
+            # arrays would turn every replicate's row gather into an
+            # all-to-all.
+            y_bt = jnp.asarray(ds.meth_f.astype(np_dtype),
+                               dtype=dev_dtype)
+            d_bt = jnp.asarray(ds.counts.astype(np_dtype),
+                               dtype=dev_dtype)
+            ref_bt = jnp.asarray(ds.ref.astype(np_dtype),
+                                 dtype=dev_dtype)
+        else:
+            y_bt, d_bt, ref_bt = y, d, ref_mat
         lo_p, hi_p, lo_u, hi_u = bootstrap_ci(
-            y, d, ref_mat, n_u, level=level, n_bootstrap=n_boot,
+            y_bt, d_bt, ref_bt, n_u, level=level, n_bootstrap=n_boot,
             init_option=args.init, n_iter1=args.iterations[0],
             n_iter2=args.iterations[1], tol=termination,
             purity=purity, key=jax.random.fold_in(key, 987654321),
-            n_rows=n_cpg_orig, tol_relative=args.reltol)
+            n_rows=n_cpg_orig, tol_relative=args.reltol,
+            process_count=n_procs, process_index=proc_id)
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
-        ci_props_df = write_ci_proportions(
-            outdir, lo_p, hi_p, header + unknown_header, ds.sample_names)
-        if n_u > 0:
-            write_ci_profile(outdir, lo_u[:n_cpg_orig],
-                             hi_u[:n_cpg_orig], unknown_header)
+        if proc_id == 0:
+            ci_props_df = write_ci_proportions(
+                outdir, lo_p, hi_p, header + unknown_header,
+                ds.sample_names)
+            if n_u > 0:
+                write_ci_profile(outdir, lo_u[:n_cpg_orig],
+                                 hi_u[:n_cpg_orig], unknown_header)
 
     # ------------------------------------------------------------------
     # point estimate (reference demethify.py:154-217)
@@ -383,11 +401,24 @@ def main(argv=None):
     profile_ctx = device_profile(args.profile)
     profile_ctx.__enter__()
     if ic_name:
+        if args.multihost:
+            # rank-partitioned sweep on host-full arrays (criteria
+            # allgathered; the winner is recomputed identically on
+            # every process — see selection/sweep.py)
+            y_ic = jnp.asarray(ds.meth_f.astype(np_dtype),
+                               dtype=dev_dtype)
+            d_ic = jnp.asarray(ds.counts.astype(np_dtype),
+                               dtype=dev_dtype)
+            ref_ic = None if ds.ref is None else jnp.asarray(
+                ds.ref.astype(np_dtype), dtype=dev_dtype)
+        else:
+            y_ic, d_ic, ref_ic = y, d, ref_mat
         u_best, proportions, ic_n_u, list_ic = evaluate_best_ic(
-            y, d, ref_mat, args.init, ic_name, key=key,
+            y_ic, d_ic, ref_ic, args.init, ic_name, key=key,
             iter1=args.iterations[0], iter2=args.iterations[1],
             tol=termination, tol_relative=args.reltol,
-            n_restarts=nb_r, n_u_max=args.icmax[0])
+            n_restarts=nb_r, n_u_max=args.icmax[0],
+            process_count=n_procs, process_index=proc_id)
         unknown_header = [f"unknown_cell_{i+1}" for i in range(ic_n_u)]
         header += unknown_header
         _write_profile(u_best, unknown_header)

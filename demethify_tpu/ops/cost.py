@@ -14,14 +14,20 @@ import jax.numpy as jnp
 
 
 def weighted_cost(y, R, alpha, d) -> jnp.ndarray:
-    """sum(d * (y - R @ alpha)**2), scalar (accumulated in float32 when
-    the inputs are stored bfloat16 — see ops.gram.accum_dtype)."""
+    """sum(d * (y - R @ alpha)**2), scalar.
+
+    With bfloat16 storage the whole computation runs in float32 (see
+    ops.gram.accum_dtype): the model matmul accumulates f32 on the MXU,
+    and the residual/square/sum stay f32 in registers — the upcasts are
+    fused into the read, so HBM traffic is still the bf16 arrays. Keeping
+    the residual in storage dtype instead would put a ~1e-2 relative
+    error on every term, which is what made bf16 costs untrustworthy."""
     from demethify_tpu.ops.gram import accum_dtype
 
     acc = accum_dtype(y)
-    resid = y - jnp.einsum("ip,ps->is", R, alpha,
-                           preferred_element_type=acc).astype(y.dtype)
-    return jnp.sum((d * resid * resid).astype(acc))
+    resid = y.astype(acc) - jnp.einsum("ip,ps->is", R, alpha,
+                                       preferred_element_type=acc)
+    return jnp.sum(d.astype(acc) * resid * resid)
 
 
 def weighted_cost_gram(G, b, ydy, alpha) -> jnp.ndarray:

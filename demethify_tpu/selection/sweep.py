@@ -75,12 +75,68 @@ def _ccc_restart_alphas(y, d, ref, n_u, init_option, key, n_restarts,
     return alpha_list, us[-1], alphas[-1]
 
 
+def _rank_criterion(y, d, ref, n_u, init_option, ic, key, iter1, iter2,
+                    tol, n_restarts):
+    """Criterion value + the rank's factors for one sweep member.
+    Deterministic given (key, n_u): the sweep can be partitioned across
+    processes and any member recomputed bit-identically anywhere."""
+    n_cpg, n_samples = y.shape
+    n_ct = 0 if ref is None else ref.shape[1]
+    k_nu = jax.random.fold_in(key, n_u)
+    if ic == "CCC":
+        alpha_runs, u, alpha = _ccc_restart_alphas(
+            y, d, ref, n_u, init_option, k_nu, n_restarts,
+            iter1, iter2, tol)
+        ic_result = -compute_ccc(alpha_runs)
+    elif ic == "BCV":
+        ic_result, u, alpha = bicross_validation(
+            y, d, n_u, ref=ref, init_option=init_option,
+            iter1=iter1, iter2=iter2, tol=tol,
+            n_folds=n_restarts, fraction=0.3, key=k_nu)
+    else:
+        u, R, alpha = _run_deconv(y, d, ref, n_u, init_option, k_nu,
+                                  iter1, iter2, tol)
+        cost = float(weighted_cost(y, R, alpha, d))
+        fn = compute_bic if ic == "BIC" else compute_aic
+        ic_result = fn(cost, n_u, n_cpg, n_ct, n_samples)
+    return float(ic_result), u, alpha
+
+
+def _evaluate_best_ic_multihost(y, d, ref, init_option, ic, key,
+                                iter1, iter2, tol, n_restarts, n_u_max,
+                                process_count, process_index):
+    """Rank-partitioned sweep across processes: process p computes the
+    criterion for ranks {p+1, p+1+nproc, ...} (strided — higher ranks
+    cost more, striding balances), the tiny criterion vectors are
+    allgathered, and EVERY process recomputes the winning rank's solve
+    locally (deterministic keys make this bit-identical to a broadcast,
+    without moving the (n_cpg, n_u) factors over DCN). y/d/ref must be
+    process-local full arrays."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    crit = np.full(n_u_max, np.inf)
+    for n_u in range(1 + process_index, n_u_max + 1, process_count):
+        crit[n_u - 1], _, _ = _rank_criterion(
+            y, d, ref, n_u, init_option, ic, key, iter1, iter2, tol,
+            n_restarts)
+    all_crit = np.asarray(multihost_utils.process_allgather(
+        crit, tiled=False))              # (nproc, n_u_max)
+    merged = all_crit.min(axis=0)        # each rank owned by one process
+    best_n_u = int(np.argmin(merged)) + 1
+    _, best_u, best_alpha = _rank_criterion(
+        y, d, ref, best_n_u, init_option, ic, key, iter1, iter2, tol,
+        n_restarts)
+    return best_u, best_alpha, best_n_u, [float(v) for v in merged]
+
+
 def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
                      key=None, seed: int = 1,
                      iter1: int, iter2: int, tol: float,
                      tol_relative: bool = False,
                      n_restarts: int = 5, n_u_max: int = 25,
-                     progress: bool = False):
+                     progress: bool = False,
+                     process_count: int = 1, process_index: int = 0):
     """Returns (best_u, best_alpha, best_n_u, list_ic)."""
     if ic not in IC_CHOICES:
         raise ValueError(f"--ic must be one of {IC_CHOICES}, got {ic!r}")
@@ -90,8 +146,11 @@ def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
     y = jnp.asarray(y)
     d = jnp.asarray(d)
     ref = None if ref is None else jnp.asarray(ref)
-    n_cpg, n_samples = y.shape
-    n_ct = 0 if ref is None else ref.shape[1]
+
+    if process_count > 1 and ic != "minka":
+        return _evaluate_best_ic_multihost(
+            y, d, ref, init_option, ic, key, iter1, iter2, tol,
+            n_restarts, n_u_max, process_count, process_index)
 
     if init_option == "uniform_" and ic in ("AIC", "BIC", "CCC", "BCV"):
         # compile-once padded sweeps: every rank (x restart/fold) solved
@@ -136,24 +195,9 @@ def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
         iterator = tqdm.tqdm(n_u_values)
 
     for n_u in iterator:
-        k_nu = jax.random.fold_in(key, n_u)
-        if ic == "CCC":
-            alpha_runs, u, alpha = _ccc_restart_alphas(
-                y, d, ref, n_u, init_option, k_nu, n_restarts,
-                iter1, iter2, tol)
-            ic_result = -compute_ccc(alpha_runs)
-        elif ic == "BCV":
-            ic_result, u, alpha = bicross_validation(
-                y, d, n_u, ref=ref, init_option=init_option,
-                iter1=iter1, iter2=iter2, tol=tol,
-                n_folds=n_restarts, fraction=0.3, key=k_nu)
-        else:
-            u, R, alpha = _run_deconv(y, d, ref, n_u, init_option, k_nu,
-                                      iter1, iter2, tol)
-            cost = float(weighted_cost(y, R, alpha, d))
-            fn = compute_bic if ic == "BIC" else compute_aic
-            ic_result = fn(cost, n_u, n_cpg, n_ct, n_samples)
-
+        ic_result, u, alpha = _rank_criterion(
+            y, d, ref, n_u, init_option, ic, key, iter1, iter2, tol,
+            n_restarts)
         list_result.append(float(ic_result))
         if ic_result < best_ic:
             best_ic = ic_result

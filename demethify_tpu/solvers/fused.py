@@ -322,10 +322,10 @@ def partial_ref_solve_fused_sharded(u, alpha, y, d, R_trunc, n_u: int,
             tol=tol, record_trace=record_trace, tile=tile,
             tol_relative=tol_relative, axis_name=axis)
 
-    fn = jax.shard_map(local_fn, mesh=mesh,
-                       in_specs=(row, rep, row, row, row),
-                       out_specs=(row, rep, info),
-                       check_vma=False)
+    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                               in_specs=(row, rep, row, row, row),
+                               out_specs=(row, rep, info),
+                               check_vma=False))
     return fn(u, alpha, y, d, R_trunc)
 
 
@@ -346,10 +346,10 @@ def unsupervised_solve_fused_sharded(u, alpha, y, d, n_u: int,
             tol=tol, record_trace=record_trace, tile=tile,
             tol_relative=tol_relative, axis_name=axis)
 
-    fn = jax.shard_map(local_fn, mesh=mesh,
-                       in_specs=(row, rep, row, row),
-                       out_specs=(row, rep, info),
-                       check_vma=False)
+    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                               in_specs=(row, rep, row, row),
+                               out_specs=(row, rep, info),
+                               check_vma=False))
     return fn(u, alpha, y, d)
 
 
@@ -369,8 +369,8 @@ def purity_solve_fused_sharded(u, alpha, y, d, R_trunc, purity, n_u: int,
             n_iter2=n_iter2, tol=tol, record_trace=record_trace,
             tile=tile, tol_relative=tol_relative, axis_name=axis)
 
-    fn = jax.shard_map(local_fn, mesh=mesh,
-                       in_specs=(row, rep, row, row, row, rep),
-                       out_specs=(row, rep, info),
-                       check_vma=False)
+    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                               in_specs=(row, rep, row, row, row, rep),
+                               out_specs=(row, rep, info),
+                               check_vma=False))
     return fn(u, alpha, y, d, R_trunc, purity)

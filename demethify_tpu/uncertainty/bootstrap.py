@@ -43,9 +43,22 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                  key=None, seed: int = 1,
                  batch_size: int = 256,
                  n_rows=None,
-                 tol_relative: bool = False):
+                 tol_relative: bool = False,
+                 process_count: int = 1,
+                 process_index: int = 0):
     """Returns (lower_props, upper_props, lower_u, upper_u); the u bounds
-    are None in supervised mode (n_u == 0)."""
+    are None in supervised mode (n_u == 0).
+
+    Multi-host scale-out (``process_count > 1``): each process solves a
+    contiguous block of the B replicates on ITS devices (y/d/ref must be
+    process-local full arrays, not row-sharded — the per-replicate row
+    gather would otherwise be an all-to-all), then the per-replicate
+    results are allgathered across processes before the percentile step.
+    Replicate keys fold in the GLOBAL replicate index, so the CIs are
+    bit-identical to a single-process run for any process count. The
+    unknown-profile gather moves (B, n_cpg, n_u) over DCN — fine for
+    panel-scale references; genome-scale bootstrap CIs of U should stay
+    single-host or accept the transfer."""
     from demethify_tpu.ops.nnls import wls_intercept_batch
     from demethify_tpu.solvers.init import init_partial, init_purity
     from demethify_tpu.solvers.partial_ref import partial_ref_solve
@@ -92,24 +105,38 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
 
     batched = jax.jit(jax.vmap(one_replicate))
 
+    # this process's contiguous block of global replicate indices; the
+    # per-process count is padded so every process ships equal shapes to
+    # the allgather, and the (deterministically-keyed) overhang past B is
+    # trimmed after the gather
+    per_proc = -(-n_bootstrap // process_count)
+    start = process_index * per_proc
+
     props_chunks = []
     u_chunks = []
     done = 0
-    rep = 0
-    while done < n_bootstrap:
-        nb = min(batch_size, n_bootstrap - done)
-        keys = jnp.stack([jax.random.fold_in(key, done + i)
+    while done < per_proc:
+        nb = min(batch_size, per_proc - done)
+        keys = jnp.stack([jax.random.fold_in(key, start + done + i)
                           for i in range(nb)])
         props_b, u_b = batched(keys)
         props_chunks.append(np.asarray(props_b))
         u_chunks.append(np.asarray(u_b))
         done += nb
-        rep += 1
 
-    props_all = np.concatenate(props_chunks, axis=0)   # (B, p, n_s)
+    props_all = np.concatenate(props_chunks, axis=0)   # (B_local, p, n_s)
+    u_all = np.concatenate(u_chunks, axis=0)       # (B_local, n_cpg, n_u)
+    if process_count > 1:
+        from jax.experimental import multihost_utils
+
+        props_all = np.asarray(multihost_utils.process_allgather(
+            props_all, tiled=True))[:n_bootstrap]
+        if not supervised:
+            u_all = np.asarray(multihost_utils.process_allgather(
+                u_all, tiled=True))[:n_bootstrap]
+
     lo_p, hi_p = _percentiles(props_all, level)
     if supervised:
         return lo_p, hi_p, None, None
-    u_all = np.concatenate(u_chunks, axis=0)           # (B, n_cpg, n_u)
     lo_u, hi_u = _percentiles(u_all, level)
     return lo_p, hi_p, lo_u, hi_u

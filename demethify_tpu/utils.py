@@ -85,3 +85,34 @@ def write_cost_trace(outdir: str, trace, name: str = "cost_trajectory.csv"):
         for i, c in enumerate(tr):
             f.write(f"{i},{c}\n")
     return path
+
+
+def termination_resolution_warning(tol: float, cost_scale: float,
+                                   compute_dtype) -> Optional[str]:
+    """Detect an unresolvable absolute termination test BEFORE the solve.
+
+    The solvers stop on ``|cf - cf_prev| < tol`` (reference semantics,
+    `demethify/deconvolution.py:218-221`). At megabase scale the cost
+    magnitude grows with n_cpg, and once ``tol`` falls below the floating
+    point resolution of the cost (one ulp at ``cost_scale``) the test
+    can only fire on an exact bitwise cost plateau: the run silently
+    degrades to a (near-)fixed n_iter1-iteration run. Returns a user-facing
+    warning in that case, else None. ``cost_scale`` should be an upper
+    estimate of the initial cost — sum(D * Y^2) (the cost at alpha = 0)
+    works and needs no init."""
+    import jax.numpy as jnp
+
+    if cost_scale <= 0.0 or tol <= 0.0:
+        return None
+    eps = float(jnp.finfo(jnp.dtype(compute_dtype)).eps)
+    floor = cost_scale * eps
+    if tol >= floor:
+        return None
+    return (f"Warning: --termination {tol:g} is below the "
+            f"{jnp.dtype(compute_dtype).name} resolution of the cost "
+            f"(~{floor:.3g} at cost magnitude {cost_scale:.3g}); the "
+            f"|delta cost| test can only fire on an exact cost plateau "
+            f"and the run will likely iterate to the n_iter1 cap. "
+            f"Pass --reltol to interpret "
+            f"--termination as a fraction of the initial cost, or "
+            f"--dtype float64.")

@@ -86,6 +86,70 @@ class TestMultiProcessE2E:
         want = pd.read_csv(out1 / "celltypes_proportions.csv", index_col=0)
         np.testing.assert_allclose(got.values, want.values, atol=1e-8)
 
+    def _two_proc_vs_single(self, tmp_path, extra, drop_nbunknown=False):
+        import os
+        import socket
+        import subprocess
+
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env.pop("JAX_PLATFORMS", None)
+
+        def build(args):
+            cmd = self._run_cli(args, env)
+            if drop_nbunknown:
+                i = cmd.index("--nbunknown")
+                del cmd[i:i + 2]
+            return cmd
+
+        out1 = tmp_path / "single"
+        subprocess.run(build(["--outdir", str(out1)] + extra),
+                       check=True, env=env, cwd="/root/repo",
+                       timeout=600)
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        out2 = tmp_path / "multi"
+        procs = [subprocess.Popen(
+            build(["--outdir", str(out2), "--multihost",
+                   f"localhost:{port}", "2", str(pid)] + extra),
+            env=env, cwd="/root/repo") for pid in (0, 1)]
+        for pr in procs:
+            assert pr.wait(timeout=600) == 0
+        return out1, out2
+
+    def test_two_process_bootstrap_matches_single(self, tmp_path):
+        import pandas as pd
+        out1, out2 = self._two_proc_vs_single(
+            tmp_path, ["--confidence", "90", "7"])
+        # CI cells are "(lo, hi)" strings — exact match required: both
+        # paths run the replicates on host-full arrays with keys folding
+        # the GLOBAL replicate index
+        for fname in ["confidence_interval_celltypes_proportions.csv",
+                      "confidence_interval_methylation_estimate.csv"]:
+            got = pd.read_csv(out2 / fname, index_col=0)
+            want = pd.read_csv(out1 / fname, index_col=0)
+            assert got.equals(want), fname
+        # the point estimate itself runs on the row-sharded mesh in the
+        # 2-process run — equal up to psum reassociation
+        got = pd.read_csv(out2 / "celltypes_proportions.csv", index_col=0)
+        want = pd.read_csv(out1 / "celltypes_proportions.csv",
+                           index_col=0)
+        np.testing.assert_allclose(got.values, want.values, atol=1e-8)
+
+    def test_two_process_ic_sweep_matches_single(self, tmp_path):
+        import pandas as pd
+        out1, out2 = self._two_proc_vs_single(
+            tmp_path, ["--ic", "AIC", "--icmax", "3",
+                       "--init", "beta", "--iterations", "30", "5"],
+            drop_nbunknown=True)
+        got = pd.read_csv(out2 / "celltypes_proportions.csv", index_col=0)
+        want = pd.read_csv(out1 / "celltypes_proportions.csv",
+                           index_col=0)
+        assert list(got.index) == list(want.index)  # same chosen rank
+        np.testing.assert_allclose(got.values, want.values, atol=1e-8)
+
     def test_two_process_cli_matches_single(self, tmp_path):
         import os
         import socket

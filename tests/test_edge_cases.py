@@ -78,3 +78,43 @@ class TestEdgeCases:
         res = supervised_deconv(jnp.asarray(y), jnp.asarray(d),
                                 jnp.asarray(Rt))
         assert np.isfinite(np.asarray(res.proportions)).all()
+
+
+class TestTerminationResolution:
+    """Absolute |delta cost| termination must be flagged when it is below
+    the float resolution of the cost magnitude (VERDICT: megabase-scale
+    float32 runs silently degrade to max-iteration runs)."""
+
+    def test_unresolvable_at_genome_scale_f32(self):
+        from demethify_tpu.utils import termination_resolution_warning
+        # 10M rows x 10 samples, coverage ~50, y ~0.5:
+        # cost scale ~ 1.2e9 >> 1e-2 / eps_f32
+        cost_scale = 10_000_000 * 10 * 50 * 0.25
+        msg = termination_resolution_warning(1e-2, cost_scale, np.float32)
+        assert msg is not None and "--reltol" in msg
+
+    def test_resolvable_cases(self):
+        from demethify_tpu.utils import termination_resolution_warning
+        # fixture scale (cost ~6e4, f32): resolvable
+        assert termination_resolution_warning(1e-2, 6e4, np.float32) is None
+        # genome scale but float64: resolvable
+        assert termination_resolution_warning(
+            1e-2, 1.2e9, np.float64) is None
+        # genome scale f32 with a sane relative-equivalent tol: resolvable
+        assert termination_resolution_warning(
+            1.2e9 * 1e-6, 1.2e9, np.float32) is None
+
+    def test_cli_warns(self, tmp_path, capsys):
+        import os
+        F = "/root/reference/test/output_gen"
+        if not os.path.exists(F):
+            pytest.skip("fixtures not mounted")
+        from demethify_tpu.cli import main as cli_main
+        argv = ["--methfreq", f"{F}/sample1.bed", "--bedmethyl",
+                "--ref", f"{F}/ref_matrix.bed", "--nbunknown", "1",
+                "--outdir", str(tmp_path), "--noprint",
+                "--iterations", "5", "2",
+                "--termination", "1e-9"]  # far below f32 ulp of ~6e3
+        assert cli_main(argv) == 0
+        out = capsys.readouterr().out
+        assert "--reltol" in out

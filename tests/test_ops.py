@@ -55,6 +55,25 @@ class TestCost:
         want = oracle.cost_w(p["y"], R, p["alpha"], p["d"])
         assert got == pytest.approx(want, rel=1e-9)
 
+    def test_bfloat16_storage_accurate_at_scale(self):
+        # bf16 STORAGE must not contaminate the cost: all arithmetic
+        # runs in float32 (ops/cost.py), so the large-n cost agrees with
+        # a float64 oracle on the SAME quantized values to ~1e-3 rel —
+        # the residual-in-bf16 form this replaced erred at ~1e-2.
+        rng = np.random.default_rng(7)
+        n, n_s, p = 400_000, 4, 6
+        R16 = jnp.asarray(rng.uniform(size=(n, p)), jnp.bfloat16)
+        a16 = jnp.asarray(rng.dirichlet(np.ones(p), size=n_s).T,
+                          jnp.bfloat16)
+        y16 = jnp.asarray(rng.uniform(size=(n, n_s)), jnp.bfloat16)
+        d16 = jnp.asarray(rng.poisson(50, size=(n, n_s)) + 1.0,
+                          jnp.bfloat16)
+        got = float(weighted_cost(y16, R16, a16, d16))
+        y64, R64, a64, d64 = (np.asarray(x, np.float64)
+                              for x in (y16, R16, a16, d16))
+        want = float(np.sum(d64 * (y64 - R64 @ a64) ** 2))
+        assert got == pytest.approx(want, rel=1e-3)
+
 
 class TestFista:
     def test_u_gram_matches_oracle(self, small_problem):
