@@ -335,18 +335,21 @@ def main(argv=None):
                              "bootstrap resamples the reference rows).\n")
             sys.exit(1)
         level, n_boot = args.confidence
-        if args.multihost:
-            # replicates partition across processes on host-full arrays
-            # (each host already parsed the full inputs); the percentile
-            # inputs are allgathered inside bootstrap_ci. Row-sharded
-            # arrays would turn every replicate's row gather into an
-            # all-to-all.
+        bt_devices = None
+        if args.multihost or args.shard:
+            # bootstrap runs on host-full arrays — row-sharded inputs
+            # would turn every replicate's row gather into an
+            # all-to-all. --multihost partitions replicates across
+            # processes; --shard batch-parallels them across the local
+            # devices (data replicated, zero comms per replicate).
             y_bt = jnp.asarray(ds.meth_f.astype(np_dtype),
                                dtype=dev_dtype)
             d_bt = jnp.asarray(ds.counts.astype(np_dtype),
                                dtype=dev_dtype)
             ref_bt = jnp.asarray(ds.ref.astype(np_dtype),
                                  dtype=dev_dtype)
+            if args.shard and not args.multihost:
+                bt_devices = jax.devices()
         else:
             y_bt, d_bt, ref_bt = y, d, ref_mat
         lo_p, hi_p, lo_u, hi_u = bootstrap_ci(
@@ -355,7 +358,8 @@ def main(argv=None):
             n_iter2=args.iterations[1], tol=termination,
             purity=purity, key=jax.random.fold_in(key, 987654321),
             n_rows=n_cpg_orig, tol_relative=args.reltol,
-            process_count=n_procs, process_index=proc_id)
+            process_count=n_procs, process_index=proc_id,
+            devices=bt_devices)
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         if proc_id == 0:
             ci_props_df = write_ci_proportions(

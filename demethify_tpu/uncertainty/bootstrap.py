@@ -45,7 +45,8 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                  n_rows=None,
                  tol_relative: bool = False,
                  process_count: int = 1,
-                 process_index: int = 0):
+                 process_index: int = 0,
+                 devices=None):
     """Returns (lower_props, upper_props, lower_u, upper_u); the u bounds
     are None in supervised mode (n_u == 0).
 
@@ -58,7 +59,14 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
     bit-identical to a single-process run for any process count. The
     unknown-profile gather moves (B, n_cpg, n_u) over DCN — fine for
     panel-scale references; genome-scale bootstrap CIs of U should stay
-    single-host or accept the transfer."""
+    single-host or accept the transfer.
+
+    Local multi-chip scale-out (``devices``, CLI --shard): the replicate
+    batch axis shards across the given local devices with (y, d, ref)
+    replicated — each chip solves its own replicates with zero
+    communication (row-sharding would make every replicate's row gather
+    an all-to-all instead). Results are identical to the single-device
+    batch for any device count."""
     from demethify_tpu.ops.nnls import wls_intercept_batch
     from demethify_tpu.solvers.init import init_partial, init_purity
     from demethify_tpu.solvers.partial_ref import partial_ref_solve
@@ -105,6 +113,21 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
 
     batched = jax.jit(jax.vmap(one_replicate))
 
+    key_sharding = None
+    n_dev = 1
+    if devices is not None and len(devices) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        n_dev = len(devices)
+        mesh = Mesh(np.asarray(devices), ("replicate",))
+        key_sharding = NamedSharding(mesh, P("replicate"))
+        data_sharding = NamedSharding(mesh, P())
+        y = jax.device_put(y, data_sharding)
+        d = jax.device_put(d, data_sharding)
+        ref = jax.device_put(ref, data_sharding)
+        if purity is not None:
+            purity = jax.device_put(purity, data_sharding)
+
     # this process's contiguous block of global replicate indices; the
     # per-process count is padded so every process ships equal shapes to
     # the allgather, and the (deterministically-keyed) overhang past B is
@@ -117,11 +140,16 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
     done = 0
     while done < per_proc:
         nb = min(batch_size, per_proc - done)
+        # pad the chunk so the replicate axis divides the device count
+        # (overhang keys are deterministic and trimmed below)
+        nb_pad = -(-nb // n_dev) * n_dev
         keys = jnp.stack([jax.random.fold_in(key, start + done + i)
-                          for i in range(nb)])
+                          for i in range(nb_pad)])
+        if key_sharding is not None:
+            keys = jax.device_put(keys, key_sharding)
         props_b, u_b = batched(keys)
-        props_chunks.append(np.asarray(props_b))
-        u_chunks.append(np.asarray(u_b))
+        props_chunks.append(np.asarray(props_b)[:nb])
+        u_chunks.append(np.asarray(u_b)[:nb])
         done += nb
 
     props_all = np.concatenate(props_chunks, axis=0)   # (B_local, p, n_s)

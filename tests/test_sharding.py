@@ -142,6 +142,27 @@ def test_sharded_purity_matches_local():
                                atol=1e-9)
 
 
+def test_bootstrap_replicate_sharded_matches_local():
+    # CLI --shard routes bootstrap onto replicate-axis device
+    # parallelism (data replicated); CIs must equal the single-device
+    # batch exactly (identical per-replicate keys)
+    from demethify_tpu.uncertainty.bootstrap import bootstrap_ci
+
+    y, d, Rt, _, _ = _problem(n_cpg=96)
+    kwargs = dict(level=90, n_bootstrap=5, n_iter1=8, n_iter2=4,
+                  tol=1e-9, key=jax.random.PRNGKey(5))
+    want = bootstrap_ci(y, d, Rt, 1, **kwargs)
+    got = bootstrap_ci(y, d, Rt, 1, devices=jax.devices(), **kwargs)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-12)
+    # supervised mode too (n_u = 0 path)
+    want0 = bootstrap_ci(y, d, Rt, 0, **kwargs)
+    got0 = bootstrap_ci(y, d, Rt, 0, devices=jax.devices(), **kwargs)
+    np.testing.assert_allclose(np.asarray(got0[0]), np.asarray(want0[0]),
+                               atol=1e-12)
+
+
 class TestFusedSharded:
     """The shard_map megakernel solvers must reproduce the XLA solver
     trajectories on the 8-device CPU mesh (Pallas interpret mode)."""
