@@ -50,9 +50,117 @@ def _masked_uniform_init(key, n_cpg, n_ct, n_u_max, n_s, dtype, row_mask):
     return u0, alpha0
 
 
+def _masked_zero_guard(alpha, n_ct: int):
+    """Padded-layout form of ``solvers.init._zero_guard``
+    (`deconvolution.py:74-76`): the FIRST unknown row sits at index
+    ``n_ct``; inactive (zero) rows beyond the member's rank are
+    untouched, so the guard acts exactly as it would on the unpadded
+    (n_ct + k, n_s) alpha."""
+    first_unknown = alpha[n_ct]
+    trigger = jnp.any(first_unknown == 0.0)
+    fixed = jnp.where(trigger, jnp.full_like(first_unknown, 1e-10),
+                      first_unknown)
+    alpha = alpha.at[n_ct].set(fixed)
+    known = alpha[:n_ct] * jnp.where(trigger, 1.0 - 1e-10, 1.0)
+    return jnp.concatenate([known, alpha[n_ct:]], axis=0)
+
+
+def _padded_init_batch(y, d, ref, init_option: str, n_u_max: int, key,
+                       masks):
+    """Per-rank inits padded into the masked batch layout.
+
+    uniform_ draws every member masked (one vmapped computation). The
+    deterministic options reproduce `solvers.init.init_partial` /
+    `init_unsupervised` per rank VALUE-EXACTLY:
+
+    - SVD: ONE rank-n_u_max NNDSVD serves every member — NNDSVD
+      component j depends only on singular triplet j
+      (`ops/nndsvd.py`), so the rank-k init is an exact column
+      truncation; the per-member masked simplex projection and masked
+      zero-guard equal the k-dimensional ops exactly. Total fresh HLOs:
+      one NNDSVD + one projection shape.
+    - ICA: the Givens rotation search couples components, so its init
+      runs per rank (small per-rank HLOs; the expensive solve still
+      compiles once), keyed like the serial sweep (fold_in(key, rank)).
+
+    Ranks above n_samples take the reference's silent uniform_ fallback
+    (`deconvolution.py:44-45`) with the serial sweep's per-rank keys.
+    """
+    from demethify_tpu.ops.nndsvd import (
+        constrained_nndsvd,
+        nndsvd_initialize,
+    )
+    from demethify_tpu.ops.simplex import (
+        project_columns_to_simplex_masked,
+    )
+    from demethify_tpu.solvers.init import init_partial, init_unsupervised
+
+    n_cpg, n_s = y.shape
+    dtype = y.dtype
+    n_ct = 0 if ref is None else ref.shape[1]
+    p_max = n_ct + n_u_max
+
+    if init_option == "uniform_":
+        keys = jax.random.split(key, masks.shape[0])
+
+        def init_one(k, row_mask):
+            return _masked_uniform_init(k, n_cpg, n_ct, n_u_max, n_s,
+                                        dtype, row_mask)
+
+        return jax.vmap(init_one)(keys, masks)
+
+    svd_parts = None
+    if init_option == "SVD" and n_u_max >= 1:
+        # ranks above n_samples fall back to uniform_ below, so the
+        # shared NNDSVD only needs the deterministic ranks' components
+        svd_rank = min(n_u_max, n_s)
+        if ref is not None:
+            W, H = constrained_nndsvd(y, ref, d, rank=svd_rank, flag=0)
+            u_det, a_det = W[:, n_ct:], H
+        else:
+            W2, H2 = nndsvd_initialize(y, rank=svd_rank)
+            u_det, a_det = jnp.clip(W2, 0.0, 1.0), H2
+        # pad the component axes up to the batch width (padded columns /
+        # rows are masked off for every member that could use them)
+        u_det = jnp.pad(u_det, ((0, 0), (0, n_u_max - svd_rank)))
+        a_det = jnp.pad(a_det, ((0, n_u_max - svd_rank), (0, 0)))
+        svd_parts = (u_det, a_det)
+
+    u0_rows, a0_rows = [], []
+    for i in range(masks.shape[0]):
+        rank = int(jnp.sum(masks[i])) - n_ct
+        k_rank = jax.random.fold_in(key, rank)
+        if rank > n_s:
+            # reference fallback: deterministic inits silently become
+            # uniform_ when the rank exceeds the sample count
+            u0, a0 = _masked_uniform_init(k_rank, n_cpg, n_ct, n_u_max,
+                                          n_s, dtype, masks[i])
+        elif init_option == "SVD":
+            u_full, a_full = svd_parts
+            u0 = u_full * masks[i][n_ct:][None, :]
+            a0 = project_columns_to_simplex_masked(a_full, masks[i])
+            if ref is not None:
+                a0 = _masked_zero_guard(a0, n_ct)
+        else:                                      # ICA (and 'beta' etc.)
+            if ref is not None:
+                u_k, a_k = init_partial(k_rank, init_option, y, d, ref,
+                                        rank)
+            else:
+                u_k, a_k = init_unsupervised(k_rank, init_option, y, d,
+                                             rank)
+            u0 = jnp.zeros((n_cpg, n_u_max), dtype).at[:, :rank].set(u_k)
+            a0 = jnp.zeros((p_max, n_s), dtype)
+            a0 = a0.at[:n_ct].set(a_k[:n_ct])
+            a0 = a0.at[n_ct:n_ct + rank].set(a_k[n_ct:])
+        u0_rows.append(u0)
+        a0_rows.append(a0)
+    return jnp.stack(u0_rows), jnp.stack(a0_rows)
+
+
 def batched_rank_sweep(y, d, ref, *, n_u_max: int, key,
                        iter1: int, iter2: int, tol: float,
-                       tol_relative: bool = False):
+                       tol_relative: bool = False,
+                       init_option: str = "uniform_"):
     """Solve partial-reference (ref given) or unsupervised (ref None)
     deconvolution for every n_u in 1..n_u_max as one vmapped computation.
 
@@ -67,16 +175,12 @@ def batched_rank_sweep(y, d, ref, *, n_u_max: int, key,
     y = jnp.asarray(y)
     d = jnp.asarray(d)
     n_cpg, n_s = y.shape
-    dtype = y.dtype
     n_ct = 0 if ref is None else ref.shape[1]
+    if ref is not None:
+        ref = jnp.asarray(ref)
     masks = _member_masks(n_ct, n_u_max)
-    keys = jax.random.split(key, n_u_max)
-
-    def init_one(k, row_mask):
-        return _masked_uniform_init(k, n_cpg, n_ct, n_u_max, n_s, dtype,
-                                    row_mask)
-
-    u0_b, a0_b = jax.vmap(init_one)(keys, masks)
+    u0_b, a0_b = _padded_init_batch(y, d, ref, init_option, n_u_max, key,
+                                    masks)
 
     if ref is not None:
         ref = jnp.asarray(ref)
@@ -240,8 +344,11 @@ def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
 
 def evaluate_ic_batched(y, d, ref, ic: str, *, key=None, seed: int = 1,
                         iter1: int, iter2: int, tol: float,
-                        n_u_max: int = 25, tol_relative: bool = False):
-    """AIC/BIC sweep over n_u = 1..n_u_max with ONE compile + dispatch.
+                        n_u_max: int = 25, tol_relative: bool = False,
+                        init_option: str = "uniform_"):
+    """AIC/BIC sweep over n_u = 1..n_u_max with ONE solver compile +
+    dispatch, for uniform_ AND the deterministic SVD/ICA inits (see
+    _padded_init_batch for the per-init compile story).
 
     Returns (best_u, best_alpha, best_n_u, list_ic) like
     selection.sweep.evaluate_best_ic.
@@ -256,7 +363,7 @@ def evaluate_ic_batched(y, d, ref, ic: str, *, key=None, seed: int = 1,
     n_ct = 0 if ref is None else ref.shape[1]
     u_b, alpha_b, costs, _ = batched_rank_sweep(
         y, d, ref, n_u_max=n_u_max, key=key, iter1=iter1, iter2=iter2,
-        tol=tol, tol_relative=tol_relative)
+        tol=tol, tol_relative=tol_relative, init_option=init_option)
     costs = np.asarray(costs, dtype=np.float64)
 
     fn = compute_bic if ic == "BIC" else compute_aic

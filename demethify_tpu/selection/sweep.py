@@ -152,17 +152,23 @@ def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
             y, d, ref, init_option, ic, key, iter1, iter2, tol,
             n_restarts, n_u_max, process_count, process_index)
 
-    if init_option == "uniform_" and ic in ("AIC", "BIC", "CCC", "BCV"):
+    batched_inits = ("uniform_", "SVD", "ICA")
+    if ((init_option == "uniform_" and ic in ("CCC", "BCV"))
+            or (init_option in batched_inits and ic in ("AIC", "BIC"))):
         # compile-once padded sweeps: every rank (x restart/fold) solved
-        # under ONE compilation (selection/batched_sweep.py) — vs n_u_max
-        # separate shape-specialized compiles
+        # under ONE solver compilation (selection/batched_sweep.py) — vs
+        # n_u_max separate shape-specialized compiles. SVD/ICA inits are
+        # deterministic, so their AIC/BIC sweep members equal the
+        # per-rank solves exactly (CCC/BCV with deterministic inits are
+        # degenerate — identical restarts — and keep the serial path).
         from demethify_tpu.selection import batched_sweep as bs
 
         if ic in ("AIC", "BIC"):
             return bs.evaluate_ic_batched(y, d, ref, ic, key=key,
                                           iter1=iter1, iter2=iter2,
                                           tol=tol, n_u_max=n_u_max,
-                                          tol_relative=tol_relative)
+                                          tol_relative=tol_relative,
+                                          init_option=init_option)
         if ic == "CCC":
             return bs.batched_ccc_sweep(y, d, ref, n_u_max=n_u_max,
                                         n_restarts=n_restarts, key=key,

@@ -182,3 +182,63 @@ class TestBatchedCCCAndBCV:
             p["y"], p["d"], p["R_trunc"], "uniform_", "BCV",
             iter1=8, iter2=4, tol=1e-6, n_restarts=3, n_u_max=2)
         assert len(ics) == 2
+
+
+class TestDeterministicInitSweep:
+    """SVD/ICA-init AIC sweeps through the compile-once batched path must
+    equal the per-rank serial sweep EXACTLY (deterministic inits; masked
+    projection/zero-guard/solve are bit-faithful to the unpadded forms)."""
+
+    def _serial_sweep(self, y, d, ref, init, n_u_max, key):
+        from demethify_tpu.selection.sweep import _rank_criterion
+        out = []
+        for n_u in range(1, n_u_max + 1):
+            crit, u, alpha = _rank_criterion(
+                jnp.asarray(y), jnp.asarray(d), jnp.asarray(ref), n_u,
+                init, "AIC", key, 25, 5, 1e-9, 1)
+            out.append(crit)
+        return out
+
+    @pytest.mark.parametrize("init", ["SVD", "ICA"])
+    def test_matches_per_rank(self, small_problem, init):
+        p = small_problem
+        y, d, ref = p["y"], p["d"], p["R_trunc"]
+        n_u_max = 3  # <= n_samples: fully deterministic, exact parity
+        key = jax.random.PRNGKey(11)
+        want = self._serial_sweep(y, d, ref, init, n_u_max, key)
+        _, _, best_n_u, got = evaluate_ic_batched(
+            jnp.asarray(y), jnp.asarray(d), jnp.asarray(ref), "AIC",
+            key=key, iter1=25, iter2=5, tol=1e-9, n_u_max=n_u_max,
+            init_option=init)
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+        assert best_n_u == int(np.argmin(want)) + 1
+
+    def test_svd_unsupervised_matches(self, small_problem):
+        p = small_problem
+        y, d = p["y"], p["d"]
+        from demethify_tpu.selection.sweep import _rank_criterion
+        key = jax.random.PRNGKey(4)
+        want = []
+        for n_u in range(1, 4):
+            crit, _, _ = _rank_criterion(
+                jnp.asarray(y), jnp.asarray(d), None, n_u,
+                "SVD", "AIC", key, 20, 5, 1e-9, 1)
+            want.append(crit)
+        _, _, _, got = evaluate_ic_batched(
+            jnp.asarray(y), jnp.asarray(d), None, "AIC",
+            key=key, iter1=20, iter2=5, tol=1e-9, n_u_max=3,
+            init_option="SVD")
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    def test_fallback_ranks_run(self, small_problem):
+        # ranks above n_samples take the uniform_ fallback; the sweep
+        # must still produce finite criteria for every member
+        p = small_problem
+        y, d, ref = p["y"], p["d"], p["R_trunc"]
+        n_u_max = y.shape[1] + 2
+        _, _, best, got = evaluate_ic_batched(
+            jnp.asarray(y), jnp.asarray(d), jnp.asarray(ref), "AIC",
+            key=jax.random.PRNGKey(0), iter1=10, iter2=3, tol=1e-9,
+            n_u_max=n_u_max, init_option="SVD")
+        assert len(got) == n_u_max
+        assert np.isfinite(got).all()
