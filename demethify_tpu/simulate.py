@@ -81,9 +81,15 @@ def generate_dataset(ref_bed: str, outdir: str, *,
                      unknown_portion: Optional[Sequence[float]] = None,
                      subsample: Optional[int] = None,
                      seed: int = 0,
-                     disp: float = 1.0) -> dict:
+                     disp: float = 1.0,
+                     random_known: bool = False) -> dict:
     """Write modkit-style sample BEDs + truth CSVs, like the reference
-    notebook's fixture generation (gen_data.ipynb cells 5-8)."""
+    notebook's fixture generation (gen_data.ipynb cells 5-8).
+
+    Known cell-type selection mirrors the reference's three modes
+    (`gen_bedmethyl.py:56-61`): explicit names (``select_cell_types``),
+    the first ``nb_known`` columns (default), or ``random_known`` —
+    a seeded draw of ``nb_known`` cell types without replacement."""
     rng = np.random.default_rng(seed)
     ref = pd.read_csv(ref_bed, sep="\t").dropna()
     if subsample:
@@ -92,6 +98,8 @@ def generate_dataset(ref_bed: str, outdir: str, *,
 
     if select_cell_types:
         known = list(select_cell_types)
+    elif random_known:
+        known = list(rng.choice(df.columns, nb_known, replace=False))
     else:
         known = list(df.columns)[:nb_known]
     df = df[known + [c for c in df.columns if c not in known]]
@@ -153,11 +161,19 @@ def main(argv=None):
                              'unknown-component model)')
     parser.add_argument('--subsample', type=int, default=None)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--select', nargs='+', default=None,
+                        help='Known cell types by name (reference '
+                             'gen_u="select" mode)')
+    parser.add_argument('--randomknown', action='store_true',
+                        help='Pick the known cell types at random '
+                             '(reference gen_u="random" mode)')
     args = parser.parse_args(argv)
     generate_dataset(args.ref, args.outdir, nb_samples=args.samples,
                      read_depth=args.depth, nb_known=args.known,
+                     select_cell_types=args.select,
                      unknown_portion=args.unknown,
-                     subsample=args.subsample, seed=args.seed)
+                     subsample=args.subsample, seed=args.seed,
+                     random_known=args.randomknown)
     return 0
 
 

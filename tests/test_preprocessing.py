@@ -132,3 +132,25 @@ class TestSimulator:
         assert ds.ref.shape == (120, 5)
         truth = pd.read_csv(out["proportions"], sep="\t", index_col=0)
         assert truth.shape == (6, 3)
+
+
+def test_generate_dataset_random_known(tmp_path):
+    # reference gen_u == "random" mode (gen_bedmethyl.py:58): the known
+    # cell types are a seeded draw without replacement
+    rng = np.random.default_rng(5)
+    rows = [("chr1", i, i + 1) for i in range(60)]
+    vals = rng.uniform(size=(60, 7))
+    bed = tmp_path / "ref.bed"
+    _write_bed(bed, rows, {f"ct{j}": vals[:, j] for j in range(7)})
+    out1 = generate_dataset(str(bed), str(tmp_path / "a"), nb_samples=2,
+                            nb_known=4, unknown_portion=[0.2, 0.4],
+                            seed=9, random_known=True)
+    out2 = generate_dataset(str(bed), str(tmp_path / "b"), nb_samples=2,
+                            nb_known=4, unknown_portion=[0.2, 0.4],
+                            seed=9, random_known=True)
+    ref1 = pd.read_csv(out1["ref"], sep="\t")
+    ref2 = pd.read_csv(out2["ref"], sep="\t")
+    known1 = list(ref1.columns[3:])
+    assert len(known1) == 4 and len(set(known1)) == 4
+    assert known1 == list(ref2.columns[3:])          # seeded: reproducible
+    assert known1 != [f"ct{j}" for j in range(4)]    # not just first-n
