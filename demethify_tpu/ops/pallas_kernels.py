@@ -536,3 +536,319 @@ def grams(yt, dt, rt, *, tile: int = LANE_TILE):
         interpret=_interpret(),
     )(yt, dt, rt)
     return G, b, ydy[0]
+
+
+# ---------------------------------------------------------------------------
+# u_phase_grams_multi: the megakernel with a restart-member axis. One read
+# of (Y, D, Rt) per lane-tile serves ALL B restart members: the C/M builds
+# and Gram accumulations run as STACKED dots over the member axis (one MXU
+# call each — B separate small-K dots serialize and waste the systolic
+# array), the n_iter2 FISTA loop is vectorized over members (the member
+# axis also packs the VPU sublanes a single n_u=1 member leaves idle), and
+# per-member freezing (termination) is applied INSIDE the kernel so the
+# u/u_prev buffers stay donated (an out-of-kernel select forces XLA to
+# copy the (B, n_u, N) carries every outer iteration). A vmapped
+# single-member megakernel re-reads Y/D per member (measured 0.269
+# ms/iter/restart, ROADMAP); this reads them once.
+# ---------------------------------------------------------------------------
+
+
+def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
+                                rtt_ref, u_ref, up_ref,
+                                u_out_ref, up_out_ref, gu_ref, bu_ref,
+                                usq_ref, *, n_steps, n_u, n_b, lagged):
+    k = pl.program_id(0)
+    state_dt = u_ref.dtype
+    yt = yt_ref[:].astype(state_dt)
+    dt = dt_ref[:].astype(state_dt)
+    a2b = a2b_ref[:]                          # (B, n_u, n_s)
+    dy = dt * yt
+    T = dt.shape[-1]
+    n_s = dt.shape[0]
+
+    a2_rows = a2b.reshape(n_b * n_u, n_s)
+    # c1[b,u] = a2[b,u,:] . dy  — one stacked dot for every member
+    c1 = jax.lax.dot_general(a2_rows, dy, (((1,), (0,)), ((), ())),
+                             preferred_element_type=state_dt)
+    if rtt_ref is not None:
+        rtt = rtt_ref[:].astype(state_dt)     # (n_ct, T)
+        n_ct = rtt.shape[0]
+        # c2[b,u] = sum_s a2[b,u,s] d[s] (sum_c a1[b,c,s] rtt[c])
+        #         = sum_c rtt[c] * h[b,u,c]  with
+        #   h[b,u,c] = sum_s (a2[b,u,s] a1[b,c,s]) d[s] — ONE stacked dot
+        # (folding a2 into the weights before the dot keeps the big
+        # temporary at B*n_u*n_ct rows instead of 2x B*n_s)
+        w_known = (a2b[:, :, None, :] * a1b_ref[:][:, None, :, :]
+                   ).reshape(n_b * n_u * n_ct, n_s)
+        h = jax.lax.dot_general(
+            w_known, dt, (((1,), (0,)), ((), ())),
+            preferred_element_type=state_dt).reshape(
+            n_b, n_u, n_ct, T)
+        c2 = jnp.sum(rtt[None, None] * h, axis=2)
+        c = c1.reshape(n_b, n_u, T) - c2
+    else:
+        rtt = None
+        c = c1.reshape(n_b, n_u, T)
+    # m[b,uv] = sum_s a2[b,u,s] a2[b,v,s] d[s] — one stacked dot
+    w2 = (a2b[:, :, None, :] * a2b[:, None, :, :]).reshape(
+        n_b * n_u * n_u, n_s)
+    m = jax.lax.dot_general(w2, dt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=state_dt).reshape(
+        n_b, n_u, n_u, T)
+
+    # per-member FISTA scalars as (B, 1) columns (vector unit friendly);
+    # scal rows: (a0, l_w, l_w_prev, active)
+    a0 = scal_ref[:, 0:1]
+    l_w = scal_ref[:, 1:2]
+    l_prev0 = scal_ref[:, 2:3]
+    active3 = scal_ref[:, 3:4][:, :, None]    # (B, 1, 1)
+    kc = c / l_w[:, :, None]
+    km = m / l_w[:, :, None, None]
+
+    # pre-scaled fma form for n_u = 1 (mirrors the single-member kernel:
+    # the per-step VPU chain drops from ~8 to ~5 ops — this loop is
+    # VPU-bound at B members x n_steps, so it's the dominant cost)
+    if n_u == 1:
+        km1 = 1.0 - km[:, :, 0]                           # (B, 1, T)
+        kmn = km[:, :, 0]
+
+        def step_fn(u_t, grad_at):
+            if lagged:
+                return u_t + (kc - kmn * grad_at)
+            return u_t * km1 + kc
+    else:
+        def step_fn(u_t, grad_at):
+            return u_t + (kc - jnp.sum(km * grad_at[:, None, :, :],
+                                       axis=2))
+
+    def body(_, carry):
+        u, up, a, l_prev = carry          # u (B, n_u, T); a/l_prev (B, 1)
+        a1n = (1.0 + jnp.sqrt(1.0 + 4.0 * a * a)) / 2.0
+        beta = jnp.minimum((a - 1.0) / a1n,
+                           0.9999 * jnp.sqrt(l_prev / l_w))
+        u_t = u + beta[:, :, None] * (u - up)
+        u_new = jnp.clip(step_fn(u_t, u if lagged else u_t), 0.0, 1.0)
+        return (u_new, u, a1n, l_w)
+
+    u_in = u_ref[:]
+    up_in = up_ref[:]
+    carry = (u_in, up_in, a0, l_prev0)
+    if n_steps <= 64:
+        for _ in range(n_steps):
+            carry = body(None, carry)
+        u, up, _, _ = carry
+    else:
+        chunk = next(cn for cn in (125, 100, 64, 50, 32, 25, 20, 16, 10,
+                                   8, 5, 4, 2, 1)
+                     if n_steps % cn == 0)
+
+        def chunk_body(_, carry):
+            for _ in range(chunk):
+                carry = body(None, carry)
+            return carry
+
+        u, up, _, _ = jax.lax.fori_loop(0, n_steps // chunk, chunk_body,
+                                        carry)
+    # freeze converged members in place: keeps the donated buffers live
+    u = active3 * u + (1.0 - active3) * u_in
+    up = active3 * up + (1.0 - active3) * up_in
+    u_out_ref[:] = u
+    up_out_ref[:] = up
+
+    # Gram partial sums with each member's (possibly frozen) u. A huge-K
+    # (T) contraction with tiny output pays per OUTPUT TILE, so every
+    # reduction is packed into the fewest wide dots.
+    acc = gu_ref.dtype
+    n_ct_loc = rtt.shape[0] if rtt is not None else 0
+    u_rows = u.reshape(n_b * n_u, T).astype(acc)
+    if n_u == 1:
+        # n_u = 1 closed form needs NO du rows at all:
+        #   gu_known[b,s,c] = sum_t u[b] (d[s] rtt[c])   (u vs drt)
+        #   gu_self[b,s]    = sum_t u[b]^2 d[s]          (u^2 vs dt)
+        #   bu[b,s]         = sum_t u[b] (d[s] y[s])     (u vs dy)
+        #   usq[b]          = sum_t u[b]^2               (u^2 vs ones)
+        # -> ONE (2B, T) x (T, n_s n_ct + 2 n_s + 1) dot.
+        usq_rows = u_rows * u_rows
+        lhs = jnp.concatenate([u_rows, usq_rows], axis=0)
+        rhs_parts = []
+        if rtt is not None:
+            drt = (dt.astype(acc)[:, None, :]
+                   * rtt.astype(acc)[None, :, :]).reshape(
+                n_s * n_ct_loc, T)
+            rhs_parts.append(drt)
+        rhs_parts += [dy.astype(acc), dt.astype(acc),
+                      jnp.ones((1, T), acc)]
+        rhs = jnp.concatenate(rhs_parts, axis=0)
+        prod = jax.lax.dot_general(
+            lhs, rhs, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc)
+        o = n_s * n_ct_loc
+        # FLAT outputs only (the gu/bu refs are 2D in this mode): Mosaic
+        # has no layout cast for lane->sublane splitting reshapes like
+        # (B, n_s) -> (B, n_s, 1, 1); the host wrapper reshapes instead.
+        # gu flat layout: [known (n_s*n_ct) | self (n_s)] per member.
+        gu_part = jnp.concatenate(
+            [prod[:n_b, :o], prod[n_b:, o + n_s:o + 2 * n_s]], axis=1)
+        bu_part = prod[:n_b, o:o + n_s]                      # (B, n_s)
+        usq_part = prod[n_b:, o + 2 * n_s:o + 2 * n_s + 1]   # (B, 1)
+    else:
+        # general case: lhs stacks [du-rows; u-rows]; the cross-member
+        # (B x B) block of du.u' is tiny and its diagonal is taken
+        du = (dt.reshape(1, n_s, 1, T)
+              * u.reshape(n_b, 1, n_u, T)).reshape(
+            n_b * n_s * n_u, T).astype(acc)
+        lhs = jnp.concatenate([du, u_rows], axis=0)
+        rhs_parts = ([rtt.astype(acc)] if rtt is not None else [])
+        rhs_parts += [u_rows, dy.astype(acc)]
+        rhs = jnp.concatenate(rhs_parts, axis=0)
+        prod = jax.lax.dot_general(
+            lhs, rhs, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc)
+        n_du = n_b * n_s * n_u
+        bu_part = prod[n_du:, n_ct_loc + n_b * n_u:].reshape(
+            n_b, n_u, n_s)
+        usq_part = jnp.sum(u_rows * u_rows, axis=1,
+                           keepdims=True).reshape(n_b, n_u)
+        usq_part = jnp.sum(usq_part, axis=1, keepdims=True)  # (B, 1)
+        cross = prod[:n_du, n_ct_loc:n_ct_loc + n_b * n_u].reshape(
+            n_b, n_s * n_u, n_b, n_u)
+        eye = jnp.eye(n_b, dtype=acc)
+        gu_self = jnp.sum(cross * eye[:, None, :, None],
+                          axis=2).reshape(n_b, n_s, n_u, n_u)
+        if rtt is not None:
+            gu_known = prod[:n_du, :n_ct_loc].reshape(n_b, n_s, n_u,
+                                                      n_ct_loc)
+            gu_part = jnp.concatenate([gu_known, gu_self], axis=3)
+        else:
+            gu_part = gu_self
+
+    @pl.when(k == 0)
+    def _():
+        gu_ref[:] = gu_part
+        bu_ref[:] = bu_part
+        usq_ref[:] = usq_part
+
+    @pl.when(k > 0)
+    def _():
+        gu_ref[:] = gu_ref[:] + gu_part
+        bu_ref[:] = bu_ref[:] + bu_part
+        usq_ref[:] = usq_ref[:] + usq_part
+
+
+def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
+                        a_vec, l_w_vec, l_w_prev_vec, n_steps: int, *,
+                        active=None, lagged: bool = False,
+                        tile: int = 4096):
+    """Multi-member fused U phase: one (Y, D, Rt) read for all members.
+
+    yt/dt (n_s, N), rtt (n_ct, N) or None; a1_b (B, n_ct, n_s) or None;
+    a2_b (B, n_u, n_s); ut_b/u_prev_b (B, n_u, N); a/l_w/l_w_prev (B,).
+    ``active`` (B,) bool/float: members with active=0 pass their u/u_prev
+    through unchanged (in-kernel freeze — solver termination). Returns
+    (ut_b, u_prev_b, a_new (B,), l_w_prev_new (B,),
+    gu (B, n_s, n_u, p_r), b_u (B, n_u, n_s), usq (B,)).
+    """
+    n_b, n_u, n_s = a2_b.shape
+    n = yt.shape[-1]
+    yt, _ = _pad_lanes(yt, tile)
+    dt, _ = _pad_lanes(dt, tile)
+    ut_b, _ = _pad_lanes(ut_b, tile)
+    u_prev_b, _ = _pad_lanes(u_prev_b, tile)
+    npad = yt.shape[-1]
+    grid = (npad // tile,)
+
+    state_dtype = ut_b.dtype
+    from demethify_tpu.ops.gram import accum_dtype
+    acc = accum_dtype(yt)
+    if active is None:
+        active = jnp.ones((n_b,), state_dtype)
+    scal = jnp.stack([a_vec.astype(state_dtype),
+                      l_w_vec.astype(state_dtype),
+                      l_w_prev_vec.astype(state_dtype),
+                      active.astype(state_dtype)], axis=1)    # (B, 4)
+
+    lane2 = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, tile), lambda k: (0, k), memory_space=pltpu.VMEM)
+    lane3 = pl.BlockSpec((n_b, n_u, tile), lambda k: (0, 0, k),
+                         memory_space=pltpu.VMEM)
+    full_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda k: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+
+    has_known = rtt is not None
+    n_ct = rtt.shape[0] if has_known else 0
+    p_r = n_ct + n_u
+
+    if has_known:
+        rtt, _ = _pad_lanes(rtt, tile)
+        in_specs = [
+            full_spec((n_b, 4)),
+            full_spec((n_b, n_ct, n_s)), full_spec((n_b, n_u, n_s)),
+            lane2(n_s), lane2(n_s), lane2(n_ct),
+            lane3, lane3,
+        ]
+        args = (scal, a1_b, a2_b, yt, dt, rtt, ut_b, u_prev_b)
+        kern = functools.partial(_u_phase_grams_multi_kernel,
+                                 n_steps=n_steps, n_u=n_u, n_b=n_b,
+                                 lagged=lagged)
+    else:
+        dummy = jnp.zeros((1, 1), state_dtype)
+        in_specs = [
+            full_spec((n_b, 4)),
+            full_spec((1, 1)), full_spec((n_b, n_u, n_s)),
+            lane2(n_s), lane2(n_s),
+            lane3, lane3,
+        ]
+        args = (scal, dummy, a2_b, yt, dt, ut_b, u_prev_b)
+
+        def kern(scal_ref, _dummy, a2b_ref, yt_ref, dt_ref, u_ref,
+                 up_ref, *out_refs):
+            _u_phase_grams_multi_kernel(
+                scal_ref, None, a2b_ref, yt_ref, dt_ref, None,
+                u_ref, up_ref, *out_refs,
+                n_steps=n_steps, n_u=n_u, n_b=n_b, lagged=lagged)
+
+    if n_u == 1:
+        # flat 2D gram outputs (Mosaic-friendly layouts; see the kernel's
+        # n_u == 1 branch) — reshaped to the public 4D/3D forms below
+        gu_shape = (n_b, n_s * n_ct + n_s)
+        bu_shape = (n_b, n_s)
+    else:
+        gu_shape = (n_b, n_s, n_u, p_r)
+        bu_shape = (n_b, n_u, n_s)
+    out_specs = [lane3, lane3,
+                 full_spec(gu_shape),
+                 full_spec(bu_shape),
+                 full_spec((n_b, 1))]
+    n_in = len(args)
+    u_new, up_new, gu, b_u, usq = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((n_b, n_u, npad), state_dtype),
+                   jax.ShapeDtypeStruct((n_b, n_u, npad), state_dtype),
+                   jax.ShapeDtypeStruct(gu_shape, acc),
+                   jax.ShapeDtypeStruct(bu_shape, acc),
+                   jax.ShapeDtypeStruct((n_b, 1), acc)],
+        input_output_aliases={n_in - 2: 0, n_in - 1: 1},
+        interpret=_interpret(),
+    )(*args)
+    if n_u == 1:
+        known = gu[:, :n_s * n_ct].reshape(n_b, n_s, 1, n_ct)
+        self_blk = gu[:, n_s * n_ct:].reshape(n_b, n_s, 1, 1)
+        gu = jnp.concatenate([known, self_blk], axis=3)
+        b_u = b_u.reshape(n_b, 1, n_s)
+
+    def scal_body(_, carry):
+        a, l_prev = carry
+        a1n = (1.0 + jnp.sqrt(1.0 + 4.0 * a * a)) / 2.0
+        return (a1n, l_w_vec)
+
+    a_adv, l_w_prev_adv = jax.lax.fori_loop(0, n_steps, scal_body,
+                                            (a_vec, l_w_prev_vec))
+    act = active.astype(a_vec.dtype)
+    a_new = act * a_adv + (1.0 - act) * a_vec
+    l_w_prev_new = act * l_w_prev_adv + (1.0 - act) * l_w_prev_vec
+    return (u_new[:, :, :n], up_new[:, :, :n], a_new, l_w_prev_new,
+            gu, b_u, usq[:, 0])

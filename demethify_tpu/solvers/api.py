@@ -110,11 +110,13 @@ def _select_best(u_b, alpha_b, info_b):
 
 
 def _restarts(key, n_restarts, init_fn, solve_fn, deterministic_init,
-              solve_fn_single=None):
-    """Run init+solve for n_restarts keys as one vmapped computation.
+              solve_fn_single=None, solve_fn_batch=None):
+    """Run init+solve for n_restarts keys as one batched computation.
 
     ``solve_fn_single`` (e.g. the fused Pallas solver) is used for the
-    unbatched path; the vmapped restart batch always uses ``solve_fn``.
+    unbatched path; restart batches use ``solve_fn_batch`` (the
+    multi-member megakernel — one Y/D read per outer iteration for ALL
+    members) when available, otherwise a vmap of ``solve_fn``.
     """
     if deterministic_init or n_restarts == 1:
         u0, a0 = init_fn(key)
@@ -122,7 +124,10 @@ def _restarts(key, n_restarts, init_fn, solve_fn, deterministic_init,
         return u, alpha, info
     keys = jax.random.split(key, n_restarts)
     u0_b, a0_b = jax.vmap(init_fn)(keys)
-    u_b, alpha_b, info_b = jax.vmap(solve_fn)(u0_b, a0_b)
+    if solve_fn_batch is not None:
+        u_b, alpha_b, info_b = solve_fn_batch(u0_b, a0_b)
+    else:
+        u_b, alpha_b, info_b = jax.vmap(solve_fn)(u0_b, a0_b)
     return _select_best(u_b, alpha_b, info_b)
 
 
@@ -164,12 +169,21 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
                                  record_trace=record_trace)
 
     solve_single = None
+    solve_batch = None
     if _use_fused(y):
         def solve_single(u0, a0):
             return fused.partial_ref_solve_fused(
                 u0, a0, y, d, R_trunc, n_u,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
+
+        if n_u * n_u <= 3 * y.shape[1]:   # multi kernel: gram dataflow
+            def solve_batch(u0_b, a0_b):
+                return fused.partial_ref_solve_fused_multi(
+                    u0_b, a0_b, y, d, R_trunc, n_u,
+                    n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                    tol_relative=tol_relative,
+                    record_trace=record_trace)
     elif _use_fused_sharded(y):
         def solve_single(u0, a0):
             return fused.partial_ref_solve_fused_sharded(
@@ -179,7 +193,8 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
 
     det = _is_deterministic(init, n_u, y.shape[1], init_provided)
     u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det,
-                               solve_fn_single=solve_single)
+                               solve_fn_single=solve_single,
+                               solve_fn_batch=solve_batch)
     return DeconvolutionResult(u=u, proportions=alpha,
                                cost=float(info["cost"]),
                                n_iter=int(info["n_iter"]),

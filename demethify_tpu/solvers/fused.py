@@ -374,3 +374,129 @@ def purity_solve_fused_sharded(u, alpha, y, d, R_trunc, purity, n_u: int,
                                out_specs=(row, rep, info),
                                check_vma=False))
     return fn(u, alpha, y, d, R_trunc, purity)
+
+
+# ---------------------------------------------------------------------------
+# Multi-restart megakernel solver: B random restarts share ONE (Y, D, Rt)
+# read per outer iteration (ops/pallas_kernels.u_phase_grams_multi). A
+# vmapped single-member megakernel re-reads the big arrays per member
+# (measured 0.269 ms/iter/restart); the XLA batched form does too
+# (0.141); here the per-member traffic is just its own u/u_prev.
+# Per-member termination matches jax.vmap of the single solver: a member
+# whose |Δcost| falls below tol freezes (its carry stops changing, so it
+# stays frozen) while the rest continue; n_iter counts each member's own
+# executed iterations.
+# ---------------------------------------------------------------------------
+
+def auto_tile_multi(n_b: int, n_u: int, n_s: int, n_ct: int = 0,
+                    itemsize: int = 4) -> int:
+    """Lane-tile budget for the multi-member kernel: member-scaled u IO
+    and per-member C / curvature rows dominate."""
+    bytes_per_lane = itemsize * (
+        2 * (2 * n_s + n_ct + 4 * n_b * n_u)      # IO, double-buffered
+        + 2 * n_s                                  # dy / dresid
+        + n_b * n_u + n_b * n_u * n_u              # kc / km
+        + n_s * n_u + 4 * n_b * n_u)               # gram du + carries
+    budget = 10 * 2 ** 20
+    tile = (budget // max(bytes_per_lane, 1) // 1024) * 1024
+    return int(max(1024, min(MEGA_TILE, tile)))
+
+
+@partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
+                                   "record_trace", "tile", "tol_relative"))
+def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
+                                  n_iter1: int = 10000, n_iter2: int = 20,
+                                  tol: float = 1e-2,
+                                  record_trace: bool = False,
+                                  tile: int = 0,
+                                  tol_relative: bool = False):
+    """Batched-restart partial-reference solve; same per-member
+    trajectories as vmapping partial_ref_solve_fused. u_b: (B, n_cpg,
+    n_u); alpha_b: (B, p, n_s). Returns (u_b, alpha_b, info) with
+    per-member cost/n_iter/trace — drop-in for the vmapped restart path.
+    """
+    from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
+
+    dtype = accum_dtype(y)
+    n_b = u_b.shape[0]
+    if tile == 0:
+        tile = auto_tile_multi(n_b, n_u, y.shape[1], R_trunc.shape[1],
+                               itemsize=jnp.dtype(dtype).itemsize)
+    u_b = u_b.astype(dtype)
+    alpha_b = alpha_b.astype(dtype)
+    n = y.shape[0]
+    yt, _ = _pad_lanes(y.T, tile)
+    dt, _ = _pad_lanes(d.T, tile)
+    rtt, _ = _pad_lanes(R_trunc.T, tile)
+    ut_b, _ = _pad_lanes(jnp.swapaxes(u_b, 1, 2), tile)   # (B, n_u, N)
+    dmax2 = jnp.max(d) ** 2
+    rt_sq = jnp.sum(rtt.astype(dtype) ** 2)
+    l_w0 = jnp.sum(alpha_b[:, -n_u:] ** 2, axis=(1, 2)) * dmax2
+    l_h0 = (rt_sq + jnp.sum(ut_b * ut_b, axis=(1, 2))) * dmax2
+    cf0 = jnp.stack([
+        _cost_t(yt.astype(dtype), dt.astype(dtype),
+                jnp.concatenate([rtt.astype(dtype), ut_b[b]], axis=0),
+                alpha_b[b])
+        for b in range(n_b)])
+    tol_b = tol * cf0 if tol_relative else jnp.full_like(cf0, tol)
+    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
+
+    trace0 = (jnp.full((n_b, n_iter1), jnp.nan, dtype) if record_trace
+              else jnp.zeros((n_b, 0), dtype))
+
+    def alpha_phase_one(gu, b_u, usq, alpha, alpha_prev, a2, l_h_prev):
+        return alpha_phase_full(G_tt, b_t, gu, b_u, usq, ydy,
+                                alpha, alpha_prev, a2, l_h_prev,
+                                rt_sq, dmax2, n_iter2, n_u)
+
+    alpha_phase_b = jax.vmap(alpha_phase_one)
+
+    def active_mask(cf, cf_prev):
+        return jnp.abs(cf - cf_prev) >= tol_b
+
+    def cond(carry):
+        (_, _, _, _, _, _, _, _, _, cf, cf_prev, k, _, _) = carry
+        return (k < n_iter1) & jnp.any(active_mask(cf, cf_prev))
+
+    def sel(active, new, old):
+        extra = (1,) * (new.ndim - 1)
+        return jnp.where(active.reshape((-1,) + extra), new, old)
+
+    def body(carry):
+        (ut, upt, alpha, alpha_prev, a1, a2,
+         l_w, l_w_prev, l_h_prev, cf, cf_prev, k, n_it, trace) = carry
+        active = active_mask(cf, cf_prev)
+
+        # the big (B, n_u, N) carries freeze INSIDE the kernel (keeps the
+        # buffers donated); only the small per-member state selects here
+        ut_n, upt_n, a1_n, l_w_prev_n, gu, b_u, usq = u_phase_grams_multi(
+            yt, dt, rtt, alpha[:, :-n_u], alpha[:, -n_u:], ut, upt,
+            a1, l_w, l_w_prev, n_iter2, active=active.astype(dtype),
+            tile=tile)
+
+        (alpha_n, alpha_prev_n, a2_n, l_h_prev_n, l_w_n,
+         cf_new) = alpha_phase_b(gu, b_u, usq, alpha, alpha_prev,
+                                 a2, l_h_prev)
+
+        out = (ut_n, upt_n,
+               sel(active, alpha_n, alpha), sel(active, alpha_prev_n,
+                                                alpha_prev),
+               a1_n, sel(active, a2_n, a2),
+               sel(active, l_w_n, l_w), l_w_prev_n,
+               sel(active, l_h_prev_n, l_h_prev),
+               sel(active, cf_new, cf), sel(active, cf, cf_prev),
+               k + 1, n_it + active.astype(n_it.dtype))
+        if record_trace:
+            trace = trace.at[:, k].set(jnp.where(active, cf_new,
+                                                 trace[:, k]))
+        return out + (trace,)
+
+    ones_b = jnp.ones((n_b,), dtype)
+    init = (ut_b, ut_b, alpha_b, alpha_b, ones_b, ones_b,
+            l_w0, l_w0, l_h0, cf0, jnp.full((n_b,), jnp.inf, dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((n_b,), jnp.int32),
+            trace0)
+    out = jax.lax.while_loop(cond, body, init)
+    ut, _, alpha, _, _, _, _, _, _, cf, _, _, n_it, trace = out
+    return (jnp.swapaxes(ut[:, :, :n], 1, 2), alpha,
+            {"cost": cf, "n_iter": n_it, "trace": trace})

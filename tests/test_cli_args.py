@@ -51,11 +51,16 @@ def test_requires_methfreq_and_outdir():
         build_parser().parse_args(["--methfreq", "a.bed"])
 
 
-def test_multihost_rejects_confidence_and_ic(tmp_path, capsys):
-    import pytest
-    from demethify_tpu.cli import main
+def test_multihost_accepts_confidence_and_ic(tmp_path):
+    # round 1 rejected these; they now scale out (replicates / sweep
+    # ranks partition across processes — tests/test_distributed.py has
+    # the real 2-process e2e). Argument validation must NOT exit; the
+    # parse-level check here stops before any network rendezvous by
+    # using a missing input file.
+    from demethify_tpu.cli import build_parser
     for extra in (["--confidence", "95", "8"], ["--ic", "AIC"]):
-        with pytest.raises(SystemExit):
-            main(["--methfreq", "x.csv", "--ref", "r.csv", "--outdir",
-                  str(tmp_path), "--noprint", "--platform", "cpu",
-                  "--multihost", "localhost:1", "2", "0"] + extra)
+        args = build_parser().parse_args(
+            ["--methfreq", "x.csv", "--ref", "r.csv", "--outdir",
+             str(tmp_path), "--noprint", "--platform", "cpu",
+             "--multihost", "localhost:1", "2", "0"] + extra)
+        assert args.multihost is not None

@@ -2,6 +2,7 @@
 identical trajectories required."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -251,3 +252,97 @@ class TestFusedTrace:
         np.testing.assert_array_equal(np.isnan(w), np.isnan(g))
         np.testing.assert_allclose(g[~np.isnan(g)], w[~np.isnan(w)],
                                    rtol=1e-9)
+
+
+class TestFusedMultiRestart:
+    """The multi-member megakernel solver (one Y/D read for ALL restarts)
+    must reproduce a vmap of the XLA solver per member, including each
+    member's own termination iteration."""
+
+    def _batch(self, p, n_b=5, seed=9):
+        rng = np.random.default_rng(seed)
+        n_cpg, n_s = p["y"].shape
+        p_full = p["R_trunc"].shape[1] + p["n_u"]
+        u0_b = rng.uniform(size=(n_b, n_cpg, p["n_u"]))
+        a0_b = np.stack([rng.dirichlet(np.ones(p_full), size=n_s).T
+                         for _ in range(n_b)])
+        return jnp.asarray(u0_b), jnp.asarray(a0_b)
+
+    def test_matches_vmapped_solver(self, small_problem):
+        from demethify_tpu.solvers.fused import partial_ref_solve_fused_multi
+
+        p = small_problem
+        y, d, Rt, n_u = (jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+                         jnp.asarray(p["R_trunc"]), p["n_u"])
+        u0_b, a0_b = self._batch(p)
+
+        want = jax.vmap(lambda u0, a0: partial_ref_solve(
+            u0, a0, y, d, Rt, n_u, n_iter1=12, n_iter2=6, tol=1e-9,
+            record_trace=True))(u0_b, a0_b)
+        got = partial_ref_solve_fused_multi(
+            u0_b, a0_b, y, d, Rt, n_u, n_iter1=12, n_iter2=6, tol=1e-9,
+            record_trace=True)
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(want[0]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(want[1]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[2]["cost"]),
+                                   np.asarray(want[2]["cost"]), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[2]["trace"]),
+                                   np.asarray(want[2]["trace"]),
+                                   rtol=1e-8)
+
+    def test_matches_vmapped_solver_nu1(self, small_problem):
+        # n_u = 1 takes the kernel's du-free closed-form Gram path
+        from demethify_tpu.solvers.fused import partial_ref_solve_fused_multi
+
+        p = dict(small_problem)
+        p["n_u"] = 1
+        y, d, Rt = (jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+                    jnp.asarray(p["R_trunc"]))
+        u0_b, a0_b = self._batch(p, n_b=6, seed=1)
+        want = jax.vmap(lambda u0, a0: partial_ref_solve(
+            u0, a0, y, d, Rt, 1, n_iter1=12, n_iter2=6,
+            tol=1e-9))(u0_b, a0_b)
+        got = partial_ref_solve_fused_multi(
+            u0_b, a0_b, y, d, Rt, 1, n_iter1=12, n_iter2=6, tol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(want[0]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(want[1]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[2]["cost"]),
+                                   np.asarray(want[2]["cost"]), rtol=1e-9)
+
+    def test_per_member_termination(self, small_problem):
+        # a loose tolerance makes members converge at different outer
+        # iterations; each member's n_iter must equal its standalone run
+        from demethify_tpu.solvers.fused import partial_ref_solve_fused_multi
+
+        p = small_problem
+        y, d, Rt, n_u = (jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+                         jnp.asarray(p["R_trunc"]), p["n_u"])
+        u0_b, a0_b = self._batch(p, n_b=4, seed=3)
+        got = partial_ref_solve_fused_multi(
+            u0_b, a0_b, y, d, Rt, n_u, n_iter1=400, n_iter2=6, tol=5.0)
+        n_iters = np.asarray(got[2]["n_iter"])
+        for b in range(4):
+            single = partial_ref_solve(
+                u0_b[b], a0_b[b], y, d, Rt, n_u,
+                n_iter1=400, n_iter2=6, tol=5.0)
+            assert int(single[2]["n_iter"]) == int(n_iters[b])
+            np.testing.assert_allclose(np.asarray(got[1][b]),
+                                       np.asarray(single[1]), atol=1e-8)
+        assert len(set(n_iters.tolist())) > 1  # members really diverged
+
+    def test_restart_api_uses_batch_path(self, small_problem):
+        # the public restart API must accept the batched solver and pick
+        # the lowest-cost member (NaN-proof selection unchanged)
+        from demethify_tpu.solvers.api import partial_reference_deconv
+
+        p = small_problem
+        res = partial_reference_deconv(
+            jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+            jnp.asarray(p["R_trunc"]), p["n_u"], n_restarts=4,
+            n_iter1=10, n_iter2=4, tol=1e-9, seed=2)
+        assert np.isfinite(res.cost)
+        assert res.u.shape == (p["y"].shape[0], p["n_u"])
