@@ -228,12 +228,21 @@ def purity_deconv(y, d, R_trunc, n_u: int, purity, *,
                             record_trace=record_trace)
 
     solve_single = None
+    solve_batch = None
     if _use_fused(y):
         def solve_single(u0, a0):
             return fused.purity_solve_fused(
                 u0, a0, y, d, R_trunc, purity, n_u,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
+
+        if n_u * n_u <= 3 * y.shape[1]:
+            def solve_batch(u0_b, a0_b):
+                return fused.purity_solve_fused_multi(
+                    u0_b, a0_b, y, d, R_trunc, purity, n_u,
+                    n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                    tol_relative=tol_relative,
+                    record_trace=record_trace)
     elif _use_fused_sharded(y):
         def solve_single(u0, a0):
             return fused.purity_solve_fused_sharded(
@@ -243,7 +252,8 @@ def purity_deconv(y, d, R_trunc, n_u: int, purity, *,
 
     det = _is_deterministic(init, n_u, y.shape[1], init_provided)
     u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det,
-                               solve_fn_single=solve_single)
+                               solve_fn_single=solve_single,
+                               solve_fn_batch=solve_batch)
     return DeconvolutionResult(u=u, proportions=alpha,
                                cost=float(info["cost"]),
                                n_iter=int(info["n_iter"]),
@@ -278,12 +288,21 @@ def unsupervised_deconv(y, d, n_u: int, *,
                                   record_trace=record_trace)
 
     solve_single = None
+    solve_batch = None
     if _use_fused(y):
         def solve_single(u0, a0):
             return fused.unsupervised_solve_fused(
                 u0, a0, y, d, n_u,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
+
+        if n_u * n_u <= 3 * y.shape[1]:
+            def solve_batch(u0_b, a0_b):
+                return fused.unsupervised_solve_fused_multi(
+                    u0_b, a0_b, y, d, n_u,
+                    n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                    tol_relative=tol_relative,
+                    record_trace=record_trace)
     elif _use_fused_sharded(y):
         def solve_single(u0, a0):
             return fused.unsupervised_solve_fused_sharded(
@@ -293,7 +312,8 @@ def unsupervised_deconv(y, d, n_u: int, *,
 
     det = _is_deterministic(init, n_u, y.shape[1], init_provided)
     u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det,
-                               solve_fn_single=solve_single)
+                               solve_fn_single=solve_single,
+                               solve_fn_batch=solve_batch)
     return DeconvolutionResult(u=u, proportions=alpha,
                                cost=float(info["cost"]),
                                n_iter=int(info["n_iter"]),

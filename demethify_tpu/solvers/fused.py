@@ -500,3 +500,182 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
     ut, _, alpha, _, _, _, _, _, _, cf, _, _, n_it, trace = out
     return (jnp.swapaxes(ut[:, :, :n], 1, 2), alpha,
             {"cost": cf, "n_iter": n_it, "trace": trace})
+
+
+@partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
+                                   "record_trace", "tile", "tol_relative"))
+def unsupervised_solve_fused_multi(u_b, alpha_b, y, d, n_u: int,
+                                   n_iter1: int = 10000,
+                                   n_iter2: int = 20,
+                                   tol: float = 1e-2,
+                                   record_trace: bool = False,
+                                   tile: int = 0,
+                                   tol_relative: bool = False):
+    """Batched-restart unsupervised NMF (R = U, lagged-gradient quirk);
+    one Y/D read per outer iteration for all members."""
+    from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
+
+    dtype = accum_dtype(y)
+    n_b = u_b.shape[0]
+    if tile == 0:
+        tile = auto_tile_multi(n_b, n_u, y.shape[1],
+                               itemsize=jnp.dtype(dtype).itemsize)
+    u_b = u_b.astype(dtype)
+    alpha_b = alpha_b.astype(dtype)
+    n = y.shape[0]
+    yt, _ = _pad_lanes(y.T, tile)
+    dt, _ = _pad_lanes(d.T, tile)
+    ut_b, _ = _pad_lanes(jnp.swapaxes(u_b, 1, 2), tile)   # (B, n_u, N)
+    dmax2 = jnp.max(d) ** 2
+    l_w0 = jnp.sum(alpha_b * alpha_b, axis=(1, 2)) * dmax2
+    l_h0 = jnp.sum(ut_b * ut_b, axis=(1, 2)) * dmax2
+    cf0 = jnp.stack([
+        _cost_t(yt.astype(dtype), dt.astype(dtype), ut_b[b], alpha_b[b])
+        for b in range(n_b)])
+    tol_b = tol * cf0 if tol_relative else jnp.full_like(cf0, tol)
+    ydy = jnp.sum((dt * yt).astype(dtype) * yt.astype(dtype), axis=1)
+
+    trace0 = (jnp.full((n_b, n_iter1), jnp.nan, dtype) if record_trace
+              else jnp.zeros((n_b, 0), dtype))
+
+    def alpha_phase_one(gu, b_u, usq, alpha, alpha_prev, a2, l_h_prev):
+        return alpha_phase_full(None, None, gu, b_u, usq, ydy,
+                                alpha, alpha_prev, a2, l_h_prev,
+                                0.0, dmax2, n_iter2, n_u)
+
+    alpha_phase_b = jax.vmap(alpha_phase_one)
+
+    def active_mask(cf, cf_prev):
+        return jnp.abs(cf - cf_prev) >= tol_b
+
+    def cond(carry):
+        (_, _, _, _, _, _, _, _, _, cf, cf_prev, k, _, _) = carry
+        return (k < n_iter1) & jnp.any(active_mask(cf, cf_prev))
+
+    def sel(active, new, old):
+        extra = (1,) * (new.ndim - 1)
+        return jnp.where(active.reshape((-1,) + extra), new, old)
+
+    def body(carry):
+        (ut, upt, alpha, alpha_prev, a1, a2,
+         l_w, l_w_prev, l_h_prev, cf, cf_prev, k, n_it, trace) = carry
+        active = active_mask(cf, cf_prev)
+
+        ut_n, upt_n, a1_n, l_w_prev_n, gu, b_u, usq = u_phase_grams_multi(
+            yt, dt, None, None, alpha, ut, upt,
+            a1, l_w, l_w_prev, n_iter2, active=active.astype(dtype),
+            lagged=True, tile=tile)
+
+        (alpha_n, alpha_prev_n, a2_n, l_h_prev_n, l_w_n,
+         cf_new) = alpha_phase_b(gu, b_u, usq, alpha, alpha_prev,
+                                 a2, l_h_prev)
+
+        out = (ut_n, upt_n,
+               sel(active, alpha_n, alpha), sel(active, alpha_prev_n,
+                                                alpha_prev),
+               a1_n, sel(active, a2_n, a2),
+               sel(active, l_w_n, l_w), l_w_prev_n,
+               sel(active, l_h_prev_n, l_h_prev),
+               sel(active, cf_new, cf), sel(active, cf, cf_prev),
+               k + 1, n_it + active.astype(n_it.dtype))
+        if record_trace:
+            trace = trace.at[:, k].set(jnp.where(active, cf_new,
+                                                 trace[:, k]))
+        return out + (trace,)
+
+    ones_b = jnp.ones((n_b,), dtype)
+    init = (ut_b, ut_b, alpha_b, alpha_b, ones_b, ones_b,
+            l_w0, l_w0, l_h0, cf0, jnp.full((n_b,), jnp.inf, dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((n_b,), jnp.int32),
+            trace0)
+    out = jax.lax.while_loop(cond, body, init)
+    ut, _, alpha, _, _, _, _, _, _, cf, _, _, n_it, trace = out
+    return (jnp.swapaxes(ut[:, :, :n], 1, 2), alpha,
+            {"cost": cf, "n_iter": n_it, "trace": trace})
+
+
+@partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
+                                   "record_trace", "tile", "tol_relative"))
+def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
+                             n_u: int,
+                             n_iter1: int = 100, n_iter2: int = 500,
+                             tol: float = 1e-2,
+                             record_trace: bool = False,
+                             tile: int = 0,
+                             tol_relative: bool = False):
+    """Batched-restart purity-constrained solve (Frank-Wolfe alpha);
+    one Y/D read per outer iteration for all members."""
+    from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
+
+    dtype = accum_dtype(y)
+    n_b = u_b.shape[0]
+    if tile == 0:
+        tile = auto_tile_multi(n_b, n_u, y.shape[1], R_trunc.shape[1],
+                               itemsize=jnp.dtype(dtype).itemsize)
+    u_b = u_b.astype(dtype)
+    alpha_b = alpha_b.astype(dtype)
+    n = y.shape[0]
+    yt, _ = _pad_lanes(y.T, tile)
+    dt, _ = _pad_lanes(d.T, tile)
+    rtt, _ = _pad_lanes(R_trunc.T, tile)
+    ut_b, _ = _pad_lanes(jnp.swapaxes(u_b, 1, 2), tile)   # (B, n_u, N)
+    dmax2 = jnp.max(d) ** 2
+    l_w0 = jnp.sum(alpha_b[:, -n_u:] ** 2, axis=(1, 2)) * dmax2
+    cf0 = jnp.stack([
+        _cost_t(yt.astype(dtype), dt.astype(dtype),
+                jnp.concatenate([rtt.astype(dtype), ut_b[b]], axis=0),
+                alpha_b[b])
+        for b in range(n_b)])
+    tol_b = tol * cf0 if tol_relative else jnp.full_like(cf0, tol)
+    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
+
+    trace0 = (jnp.full((n_b, n_iter1), jnp.nan, dtype) if record_trace
+              else jnp.zeros((n_b, 0), dtype))
+
+    def fw_phase_one(gu, b_u, alpha):
+        return fw_phase_full(G_tt, b_t, gu, b_u, ydy, alpha, purity,
+                             dmax2, n_iter2, n_u)
+
+    fw_phase_b = jax.vmap(fw_phase_one)
+
+    def active_mask(cf, cf_prev):
+        return jnp.abs(cf - cf_prev) >= tol_b
+
+    def cond(carry):
+        (_, _, _, _, _, _, cf, cf_prev, k, _, _) = carry
+        return (k < n_iter1) & jnp.any(active_mask(cf, cf_prev))
+
+    def sel(active, new, old):
+        extra = (1,) * (new.ndim - 1)
+        return jnp.where(active.reshape((-1,) + extra), new, old)
+
+    def body(carry):
+        (ut, upt, alpha, a1, l_w, l_w_prev,
+         cf, cf_prev, k, n_it, trace) = carry
+        active = active_mask(cf, cf_prev)
+
+        ut_n, upt_n, a1_n, l_w_prev_n, gu, b_u, _ = u_phase_grams_multi(
+            yt, dt, rtt, alpha[:, :-n_u], alpha[:, -n_u:], ut, upt,
+            a1, l_w, l_w_prev, n_iter2, active=active.astype(dtype),
+            tile=tile)
+
+        alpha_n, l_w_n, cf_new = fw_phase_b(gu, b_u, alpha)
+
+        out = (ut_n, upt_n, sel(active, alpha_n, alpha),
+               a1_n, sel(active, l_w_n, l_w), l_w_prev_n,
+               sel(active, cf_new, cf), sel(active, cf, cf_prev),
+               k + 1, n_it + active.astype(n_it.dtype))
+        if record_trace:
+            trace = trace.at[:, k].set(jnp.where(active, cf_new,
+                                                 trace[:, k]))
+        return out + (trace,)
+
+    ones_b = jnp.ones((n_b,), dtype)
+    init = (ut_b, ut_b, alpha_b, ones_b, l_w0, l_w0,
+            cf0, jnp.full((n_b,), jnp.inf, dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((n_b,), jnp.int32),
+            trace0)
+    out = jax.lax.while_loop(cond, body, init)
+    ut, _, alpha, _, _, _, cf, _, _, n_it, trace = out
+    return (jnp.swapaxes(ut[:, :, :n], 1, 2), alpha,
+            {"cost": cf, "n_iter": n_it, "trace": trace})

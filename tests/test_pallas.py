@@ -334,6 +334,52 @@ class TestFusedMultiRestart:
                                        np.asarray(single[1]), atol=1e-8)
         assert len(set(n_iters.tolist())) > 1  # members really diverged
 
+    def test_unsupervised_matches_vmapped(self, small_problem):
+        from demethify_tpu.solvers.fused import (
+            unsupervised_solve_fused_multi,
+        )
+        from demethify_tpu.solvers.unsupervised import unsupervised_solve
+
+        p = small_problem
+        y, d = jnp.asarray(p["y"]), jnp.asarray(p["d"])
+        n_u = 3
+        rng = np.random.default_rng(4)
+        n_cpg, n_s = p["y"].shape
+        u0_b = jnp.asarray(rng.uniform(size=(5, n_cpg, n_u)))
+        a0_b = jnp.asarray(np.stack([
+            rng.dirichlet(np.ones(n_u), size=n_s).T for _ in range(5)]))
+        want = jax.vmap(lambda u0, a0: unsupervised_solve(
+            u0, a0, y, d, n_u, n_iter1=10, n_iter2=5,
+            tol=1e-9))(u0_b, a0_b)
+        got = unsupervised_solve_fused_multi(
+            u0_b, a0_b, y, d, n_u, n_iter1=10, n_iter2=5, tol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(want[0]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[2]["cost"]),
+                                   np.asarray(want[2]["cost"]), rtol=1e-9)
+
+    def test_purity_matches_vmapped(self, small_problem):
+        from demethify_tpu.solvers.fused import purity_solve_fused_multi
+        from demethify_tpu.solvers.purity import purity_solve
+
+        p = small_problem
+        y, d, Rt, n_u = (jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+                         jnp.asarray(p["R_trunc"]), p["n_u"])
+        purity = jnp.asarray(np.full(p["y"].shape[1], 0.4))
+        u0_b, a0_b = self._batch(p, n_b=4, seed=6)
+        want = jax.vmap(lambda u0, a0: purity_solve(
+            u0, a0, y, d, Rt, purity, n_u, n_iter1=6, n_iter2=10,
+            tol=1e-9))(u0_b, a0_b)
+        got = purity_solve_fused_multi(
+            u0_b, a0_b, y, d, Rt, purity, n_u,
+            n_iter1=6, n_iter2=10, tol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(want[0]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(want[1]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[2]["cost"]),
+                                   np.asarray(want[2]["cost"]), rtol=1e-9)
+
     def test_restart_api_uses_batch_path(self, small_problem):
         # the public restart API must accept the batched solver and pick
         # the lowest-cost member (NaN-proof selection unchanged)
