@@ -324,6 +324,290 @@ def alpha_phase_full(gtt, bt, gu, bu, usq, ydy, alpha, alpha_prev,
     return (a_new, ap_new, out[0, 0], out[0, 1], out[0, 2], out[0, 3])
 
 
+# ---------------------------------------------------------------------------
+# member-batched glue kernels: ONE launch for ALL restart members. The
+# vmapped single-member kernels serialize across the lifted grid axis
+# (each grid step replays the whole latency-bound inner loop on tiny
+# data), so at B members the alpha/FW phase costs B x its single-member
+# latency. Here members fold into the COLUMN axis (c = s*B + b): every
+# per-step op is a row op on (rows, B*n_s) arrays, so the step cost is
+# independent of B. The per-column gradient b - G_c a_c is computed as p
+# broadcast-FMAs against a (p, p, C) stack of per-column Gram matrices
+# (host-assembled; XLA handles the layout shuffles), and per-member
+# reductions (l_w, cost) are one (1, C) x (C, B) selector dot.
+# ---------------------------------------------------------------------------
+
+
+def _grad_cols(g3_ref, b, a_t, p):
+    """grad[:, c] = b[:, c] - G_c a_t[:, c] with G3[q][i, c] = G_c[i, q];
+    p broadcast-FMAs on (p, C) rows — cost independent of the member
+    count."""
+    acc = b
+    for q in range(p):
+        acc = acc - g3_ref[q] * a_t[q:q + 1]
+    return acc
+
+
+def _member_sums(rows, sel_ref):
+    """(k, C) per-column values -> (k, B) per-member sums via one dot
+    against the (C, B) member-selector one-hot."""
+    return jax.lax.dot_general(rows, sel_ref[:],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=rows.dtype)
+
+
+def _alpha_full_multi_kernel(scal_ref, g3_ref, b_ref, lh_ref, a0_ref,
+                             lp_ref, a_ref, ap_ref, sel_ref,
+                             a_out_ref, ap_out_ref, out_ref, *, n_steps,
+                             p, n_u, row_mask_ref):
+    ydy_sum = scal_ref[0, 0]
+    dmax2 = scal_ref[0, 1]
+    b = b_ref[:]
+    l_h = lh_ref[:]                                  # (1, C)
+
+    def body(_, carry):
+        alpha, ap, a, l_prev = carry                 # a/l_prev (1, C)
+        a2 = (1.0 + jnp.sqrt(1.0 + 4.0 * a * a)) / 2.0
+        beta = jnp.minimum((a - 1.0) / a2,
+                           0.9999 * jnp.sqrt(l_prev / l_h))
+        a_t = alpha + beta * (alpha - ap)
+        grad = _grad_cols(g3_ref, b, a_t, p)
+        v = a_t + grad / l_h
+        if row_mask_ref is not None:
+            v = jnp.where(row_mask_ref[:] > 0, v, -1e30)
+        a_new = _project_cols(v, p)
+        return (a_new, alpha, a2, l_h)
+
+    alpha, ap, _, _ = jax.lax.fori_loop(
+        0, n_steps, body, (a_ref[:], ap_ref[:], a0_ref[:], lp_ref[:]))
+    a_out_ref[:] = alpha
+    ap_out_ref[:] = ap
+
+    grad = _grad_cols(g3_ref, b, alpha, p)
+    colcost = -jnp.sum(b * alpha + alpha * grad, axis=0, keepdims=True)
+    a2blk = alpha[p - n_u:]
+    lw_col = jnp.sum(a2blk * a2blk, axis=0, keepdims=True)
+    per_member = _member_sums(jnp.concatenate([lw_col, colcost], axis=0),
+                              sel_ref)               # (2, B)
+    scale = jnp.stack([dmax2, jnp.ones((), per_member.dtype)])
+    shift = jnp.stack([jnp.zeros((), per_member.dtype), ydy_sum])
+    out_ref[:] = per_member * scale[:, None] + shift[:, None]
+
+
+def _multi_layout(x_bps, p):
+    """(B, p, n_s) -> (p, C) with column order c = s*B + b."""
+    n_b, _, n_s = x_bps.shape
+    return jnp.transpose(x_bps, (1, 2, 0)).reshape(p, n_s * n_b)
+
+
+def _multi_unlayout(x_pc, n_b, n_s):
+    """(p, C) -> (B, p, n_s), inverse of _multi_layout."""
+    p = x_pc.shape[0]
+    return jnp.transpose(x_pc.reshape(p, n_s, n_b), (2, 0, 1))
+
+
+def _tile_members(v_b, n_s):
+    """(B,) per-member scalars -> (1, C) row in c = s*B + b order."""
+    return jnp.tile(v_b, (n_s,)).reshape(1, -1)
+
+
+def _assemble_G3(gtt, gu_b, n_ct):
+    """Per-column Gram stack G3 (p, p, C) with G3[q, i, c] = G_c[i, q],
+    c = s*B + b. gu_b: (B, n_s, n_u, p_r) from the multi megakernel;
+    gtt: (n_s, n_ct, n_ct) loop-invariant known block (None for n_ct=0).
+    Mirrors _assemble_G_b's [known; unknown] row order."""
+    n_b, n_s = gu_b.shape[0], gu_b.shape[1]
+    if n_ct:
+        top_right = jnp.swapaxes(gu_b[..., :n_ct], 2, 3)
+        top = jnp.concatenate(
+            [jnp.broadcast_to(gtt, (n_b,) + gtt.shape), top_right],
+            axis=3)                                  # (B, n_s, n_ct, p)
+        G_full = jnp.concatenate([top, gu_b], axis=2)
+    else:
+        G_full = gu_b                                # (B, n_s, n_u, n_u)
+    p = G_full.shape[-1]
+    return jnp.transpose(G_full, (3, 2, 1, 0)).reshape(p, p,
+                                                       n_s * n_b)
+
+
+def _assemble_b_cols(bt, bu_b, n_ct):
+    """Per-column linear term b (p, C): known rows bt[:, s] shared across
+    members; unknown rows from bu_b (B, n_u, n_s)."""
+    n_b, n_u, n_s = bu_b.shape
+    bu = jnp.transpose(bu_b, (1, 2, 0)).reshape(n_u, n_s * n_b)
+    if n_ct:
+        bk = jnp.broadcast_to(bt[:, :, None],
+                              (n_ct, n_s, n_b)).reshape(n_ct, n_s * n_b)
+        return jnp.concatenate([bk, bu], axis=0)
+    return bu
+
+
+def alpha_phase_full_multi(gtt, bt, gu_b, bu_b, usq_b, ydy, alpha_b,
+                           alpha_prev_b, a_b, l_h_prev_b, rt_sq, dmax2,
+                           n_steps: int, n_u: int, row_mask_b=None):
+    """Member-batched alpha_phase_full: ONE launch runs every restart
+    member's whole alpha FISTA loop (vs one serialized grid step per
+    member when vmapping the single-member kernel).
+
+    gu_b (B, n_s, n_u, p_r) / bu_b (B, n_u, n_s) / usq_b (B,) come from
+    u_phase_grams_multi; gtt/bt/ydy/rt_sq/dmax2 are shared across
+    members; alpha_b/alpha_prev_b (B, p, n_s); a_b/l_h_prev_b (B,).
+    ``row_mask_b`` (B, p) optionally restricts each member's active alpha
+    rows (padded model-selection sweeps). Returns per-member
+    (alpha_b, alpha_prev_b, a_new_b, l_h_prev_new_b, l_w_b, cost_b).
+    """
+    n_b, p, n_s = alpha_b.shape
+    n_ct = p - n_u
+    C = n_s * n_b
+    dtype = alpha_b.dtype
+
+    l_h_b = (jnp.asarray(rt_sq, dtype) + usq_b.astype(dtype)) \
+        * jnp.asarray(dmax2, dtype)
+    scal = jnp.reshape(jnp.stack([jnp.sum(ydy).astype(dtype),
+                                  jnp.asarray(dmax2, dtype)]), (1, 2))
+    g3 = _assemble_G3(None if n_ct == 0 else gtt.astype(dtype),
+                      gu_b.astype(dtype), n_ct)
+    bcols = _assemble_b_cols(None if n_ct == 0 else bt.astype(dtype),
+                             bu_b.astype(dtype), n_ct)
+    sel = jnp.tile(jnp.eye(n_b, dtype=dtype), (n_s, 1))       # (C, B)
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+                full(g3.shape), full((p, C)), full((1, C)), full((1, C)),
+                full((1, C)), full((p, C)), full((p, C)), full((C, n_b))]
+    args = [scal, g3, bcols,
+            _tile_members(l_h_b, n_s),
+            _tile_members(a_b.astype(dtype), n_s),
+            _tile_members(l_h_prev_b.astype(dtype), n_s),
+            _multi_layout(alpha_b, p), _multi_layout(alpha_prev_b, p),
+            sel]
+    if row_mask_b is not None:
+        mask_pc = jnp.broadcast_to(
+            jnp.transpose(row_mask_b.astype(dtype))[:, None, :],
+            (p, n_s, n_b)).reshape(p, C)
+        in_specs.append(full((p, C)))
+        args.append(mask_pc)
+
+        def kern(scal_ref, g3_ref, b_ref, lh_ref, a0_ref, lp_ref, a_ref,
+                 ap_ref, sel_ref, mask_ref, a_out, ap_out, out):
+            _alpha_full_multi_kernel(scal_ref, g3_ref, b_ref, lh_ref,
+                                     a0_ref, lp_ref, a_ref, ap_ref,
+                                     sel_ref, a_out, ap_out, out,
+                                     n_steps=n_steps, p=p, n_u=n_u,
+                                     row_mask_ref=mask_ref)
+    else:
+        kern = functools.partial(_alpha_full_multi_kernel,
+                                 n_steps=n_steps, p=p, n_u=n_u,
+                                 row_mask_ref=None)
+
+    a_new, ap_new, out = pl.pallas_call(
+        kern,
+        in_specs=in_specs,
+        out_specs=[full((p, C)), full((p, C)), full((2, n_b))],
+        out_shape=[jax.ShapeDtypeStruct((p, C), dtype)] * 2
+        + [jax.ShapeDtypeStruct((2, n_b), dtype)],
+        interpret=_interpret(),
+    )(*args)
+
+    # data-independent per-member scalar bookkeeping replayed outside
+    def scal_body(_, carry):
+        a, l_prev = carry
+        return ((1.0 + jnp.sqrt(1.0 + 4.0 * a * a)) / 2.0, l_h_b)
+
+    a_out, l_h_prev_out = jax.lax.fori_loop(
+        0, n_steps, scal_body, (a_b.astype(dtype), l_h_prev_b))
+    return (_multi_unlayout(a_new, n_b, n_s),
+            _multi_unlayout(ap_new, n_b, n_s),
+            a_out, l_h_prev_out, out[0], out[1])
+
+
+def _fw_full_multi_kernel(scal_ref, g3_ref, b_ref, a_ref, pur_ref,
+                          sel_ref, a_out_ref, out_ref, *, n_steps, p, p1,
+                          n_u):
+    ydy_sum = scal_ref[0, 0]
+    dmax2 = scal_ref[0, 1]
+    b = b_ref[:]
+    purity = pur_ref[:]                              # (1, C)
+    n_cols = b.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, n_cols), 0)
+    in_known = (row < p1)
+    tri = jnp.tril(jnp.ones((p, p), b.dtype))
+
+    def body(k, alpha):
+        grad = -_grad_cols(g3_ref, b, alpha, p)      # = G a - b
+        big = jnp.asarray(3.4e38, grad.dtype)
+        g1 = jnp.where(in_known, grad, big)
+        g2 = jnp.where(in_known, big, grad)
+        m1 = jnp.min(g1, axis=0, keepdims=True)
+        m2 = jnp.min(g2, axis=0, keepdims=True)
+        is1 = (g1 == m1).astype(grad.dtype)
+        csum1 = jax.lax.dot_general(tri, is1, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=grad.dtype)
+        first1 = (csum1 * is1) == 1.0
+        is2 = (g2 == m2).astype(grad.dtype)
+        csum2 = jax.lax.dot_general(tri, is2, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=grad.dtype)
+        first2 = (csum2 * is2) == 1.0
+        s = (first1.astype(grad.dtype) * purity
+             + first2.astype(grad.dtype) * (1.0 - purity))
+        gamma = 2.0 / (k.astype(grad.dtype) + 2.0)
+        return (1.0 - gamma) * alpha + gamma * s
+
+    alpha = jax.lax.fori_loop(0, n_steps, body, a_ref[:])
+    a_out_ref[:] = alpha
+
+    grad = _grad_cols(g3_ref, b, alpha, p)
+    colcost = -jnp.sum(b * alpha + alpha * grad, axis=0, keepdims=True)
+    a2blk = alpha[p - n_u:]
+    lw_col = jnp.sum(a2blk * a2blk, axis=0, keepdims=True)
+    per_member = _member_sums(jnp.concatenate([lw_col, colcost], axis=0),
+                              sel_ref)               # (2, B)
+    scale = jnp.stack([dmax2, jnp.ones((), per_member.dtype)])
+    shift = jnp.stack([jnp.zeros((), per_member.dtype), ydy_sum])
+    out_ref[:] = per_member * scale[:, None] + shift[:, None]
+
+
+def fw_phase_full_multi(gtt, bt, gu_b, bu_b, ydy, alpha_b, purity, dmax2,
+                        n_steps: int, n_u: int):
+    """Member-batched fw_phase_full: every restart member's whole
+    Frank-Wolfe loop in ONE launch. The FW schedule is 100s of latency-
+    bound steps (purity default n_iter2=500), so de-serializing the
+    member axis is worth ~Bx on the alpha half of the purity solver.
+
+    Returns (alpha_b, l_w_b, cost_b); alpha_b stacked [known; unknown].
+    """
+    n_b, p, n_s = alpha_b.shape
+    n_ct = p - n_u
+    C = n_s * n_b
+    dtype = alpha_b.dtype
+
+    scal = jnp.reshape(jnp.stack([jnp.sum(ydy).astype(dtype),
+                                  jnp.asarray(dmax2, dtype)]), (1, 2))
+    g3 = _assemble_G3(None if n_ct == 0 else gtt.astype(dtype),
+                      gu_b.astype(dtype), n_ct)
+    bcols = _assemble_b_cols(None if n_ct == 0 else bt.astype(dtype),
+                             bu_b.astype(dtype), n_ct)
+    sel = jnp.tile(jnp.eye(n_b, dtype=dtype), (n_s, 1))
+    pur_row = jnp.broadcast_to(purity.astype(dtype)[:, None],
+                               (n_s, n_b)).reshape(1, C)
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, memory_space=pltpu.VMEM)
+    a_new, out = pl.pallas_call(
+        functools.partial(_fw_full_multi_kernel, n_steps=n_steps, p=p,
+                          p1=n_ct, n_u=n_u),
+        in_specs=[pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+                  full(g3.shape), full((p, C)), full((p, C)),
+                  full((1, C)), full((C, n_b))],
+        out_specs=[full((p, C)), full((2, n_b))],
+        out_shape=[jax.ShapeDtypeStruct((p, C), dtype),
+                   jax.ShapeDtypeStruct((2, n_b), dtype)],
+        interpret=_interpret(),
+    )(scal, g3, bcols, _multi_layout(alpha_b, p), pur_row, sel)
+    return _multi_unlayout(a_new, n_b, n_s), out[0], out[1]
+
+
 def _fw_full_kernel(scal_ref, gtt_ref, bt_ref, gu_ref, bu_ref,
                     ydy_ref, a_ref, pur_ref, a_out_ref, out_ref, *,
                     n_steps, p, p1, n_s, n_ct, n_u):

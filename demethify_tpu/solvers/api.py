@@ -191,6 +191,14 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
 
+        if n_u * n_u <= 3 * y.shape[1]:
+            def solve_batch(u0_b, a0_b):
+                return fused.partial_ref_solve_fused_multi_sharded(
+                    u0_b, a0_b, y, d, R_trunc, n_u,
+                    n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                    tol_relative=tol_relative,
+                    record_trace=record_trace)
+
     det = _is_deterministic(init, n_u, y.shape[1], init_provided)
     u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det,
                                solve_fn_single=solve_single,
@@ -249,6 +257,14 @@ def purity_deconv(y, d, R_trunc, n_u: int, purity, *,
                 u0, a0, y, d, R_trunc, purity, n_u,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
+
+        if n_u * n_u <= 3 * y.shape[1]:
+            def solve_batch(u0_b, a0_b):
+                return fused.purity_solve_fused_multi_sharded(
+                    u0_b, a0_b, y, d, R_trunc, purity, n_u,
+                    n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                    tol_relative=tol_relative,
+                    record_trace=record_trace)
 
     det = _is_deterministic(init, n_u, y.shape[1], init_provided)
     u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det,
@@ -309,6 +325,14 @@ def unsupervised_deconv(y, d, n_u: int, *,
                 u0, a0, y, d, n_u,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
+
+        if n_u * n_u <= 3 * y.shape[1]:
+            def solve_batch(u0_b, a0_b):
+                return fused.unsupervised_solve_fused_multi_sharded(
+                    u0_b, a0_b, y, d, n_u,
+                    n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                    tol_relative=tol_relative,
+                    record_trace=record_trace)
 
     det = _is_deterministic(init, n_u, y.shape[1], init_provided)
     u, alpha, info = _restarts(key, n_restarts, init_fn, solve_fn, det,

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from demethify_tpu.ops.gram import accum_dtype, known_block_grams
-from demethify_tpu.ops.pallas_small import alpha_phase_full, fw_phase_full
+from demethify_tpu.ops.pallas_small import (
+    alpha_phase_full,
+    alpha_phase_full_multi,
+    fw_phase_full,
+    fw_phase_full_multi,
+)
 from demethify_tpu.ops.pallas_kernels import (
     MEGA_TILE,
     _pad_lanes,
@@ -376,6 +381,96 @@ def purity_solve_fused_sharded(u, alpha, y, d, R_trunc, purity, n_u: int,
     return fn(u, alpha, y, d, R_trunc, purity)
 
 
+def _batch_row_specs(mesh):
+    """Specs for the sharded multi-restart solvers: (B, n_cpg, n_u)
+    factors row-sharded on their middle axis, everything small
+    replicated."""
+    from demethify_tpu.parallel.mesh import CPG_AXIS
+
+    row = P(CPG_AXIS, None)
+    brow = P(None, CPG_AXIS, None)
+    rep = P()
+    info = {"cost": rep, "n_iter": rep, "trace": rep}
+    return CPG_AXIS, row, brow, rep, info
+
+
+def partial_ref_solve_fused_multi_sharded(u_b, alpha_b, y, d, R_trunc,
+                                          n_u: int,
+                                          n_iter1: int = 10000,
+                                          n_iter2: int = 20,
+                                          tol: float = 1e-2,
+                                          record_trace: bool = False,
+                                          tile: int = 0,
+                                          tol_relative: bool = False):
+    """Multi-chip multi-restart form: y/d/R_trunc globally row-sharded on
+    the 'cpg' mesh axis and u_b (B, n_cpg, n_u) sharded on its row axis;
+    alpha_b and per-member info replicated. One megakernel pass per outer
+    iteration per device serves ALL restart members."""
+    mesh = y.sharding.mesh
+    axis, row, brow, rep, info = _batch_row_specs(mesh)
+
+    def local_fn(u_, a_, y_, d_, r_):
+        return partial_ref_solve_fused_multi(
+            u_, a_, y_, d_, r_, n_u, n_iter1=n_iter1, n_iter2=n_iter2,
+            tol=tol, record_trace=record_trace, tile=tile,
+            tol_relative=tol_relative, axis_name=axis)
+
+    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                               in_specs=(brow, rep, row, row, row),
+                               out_specs=(brow, rep, info),
+                               check_vma=False))
+    return fn(u_b, alpha_b, y, d, R_trunc)
+
+
+def unsupervised_solve_fused_multi_sharded(u_b, alpha_b, y, d, n_u: int,
+                                           n_iter1: int = 10000,
+                                           n_iter2: int = 20,
+                                           tol: float = 1e-2,
+                                           record_trace: bool = False,
+                                           tile: int = 0,
+                                           tol_relative: bool = False):
+    """Multi-chip form of unsupervised_solve_fused_multi."""
+    mesh = y.sharding.mesh
+    axis, row, brow, rep, info = _batch_row_specs(mesh)
+
+    def local_fn(u_, a_, y_, d_):
+        return unsupervised_solve_fused_multi(
+            u_, a_, y_, d_, n_u, n_iter1=n_iter1, n_iter2=n_iter2,
+            tol=tol, record_trace=record_trace, tile=tile,
+            tol_relative=tol_relative, axis_name=axis)
+
+    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                               in_specs=(brow, rep, row, row),
+                               out_specs=(brow, rep, info),
+                               check_vma=False))
+    return fn(u_b, alpha_b, y, d)
+
+
+def purity_solve_fused_multi_sharded(u_b, alpha_b, y, d, R_trunc, purity,
+                                     n_u: int,
+                                     n_iter1: int = 100,
+                                     n_iter2: int = 500,
+                                     tol: float = 1e-2,
+                                     record_trace: bool = False,
+                                     tile: int = 0,
+                                     tol_relative: bool = False):
+    """Multi-chip form of purity_solve_fused_multi."""
+    mesh = y.sharding.mesh
+    axis, row, brow, rep, info = _batch_row_specs(mesh)
+
+    def local_fn(u_, a_, y_, d_, r_, p_):
+        return purity_solve_fused_multi(
+            u_, a_, y_, d_, r_, p_, n_u, n_iter1=n_iter1,
+            n_iter2=n_iter2, tol=tol, record_trace=record_trace,
+            tile=tile, tol_relative=tol_relative, axis_name=axis)
+
+    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                               in_specs=(brow, rep, row, row, row, rep),
+                               out_specs=(brow, rep, info),
+                               check_vma=False))
+    return fn(u_b, alpha_b, y, d, R_trunc, purity)
+
+
 # ---------------------------------------------------------------------------
 # Multi-restart megakernel solver: B random restarts share ONE (Y, D, Rt)
 # read per outer iteration (ops/pallas_kernels.u_phase_grams_multi). A
@@ -403,17 +498,24 @@ def auto_tile_multi(n_b: int, n_u: int, n_s: int, n_ct: int = 0,
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
-                                   "record_trace", "tile", "tol_relative"))
+                                   "record_trace", "tile", "tol_relative",
+                                   "axis_name"))
 def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
                                   n_iter1: int = 10000, n_iter2: int = 20,
                                   tol: float = 1e-2,
                                   record_trace: bool = False,
                                   tile: int = 0,
-                                  tol_relative: bool = False):
+                                  tol_relative: bool = False,
+                                  axis_name=None):
     """Batched-restart partial-reference solve; same per-member
     trajectories as vmapping partial_ref_solve_fused. u_b: (B, n_cpg,
     n_u); alpha_b: (B, p, n_s). Returns (u_b, alpha_b, info) with
     per-member cost/n_iter/trace — drop-in for the vmapped restart path.
+
+    With ``axis_name`` set the function runs inside shard_map over that
+    mesh axis (y/d/R_trunc/u_b hold this device's CpG row block); every
+    cross-CpG reduction psums over the axis and the per-member U FISTA
+    phases stay shard-local, exactly like the single-member sharded form.
     """
     from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
 
@@ -429,27 +531,29 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
     dt, _ = _pad_lanes(d.T, tile)
     rtt, _ = _pad_lanes(R_trunc.T, tile)
     ut_b, _ = _pad_lanes(jnp.swapaxes(u_b, 1, 2), tile)   # (B, n_u, N)
-    dmax2 = jnp.max(d) ** 2
-    rt_sq = jnp.sum(rtt.astype(dtype) ** 2)
+    dmax2 = _axis_max(jnp.max(d), axis_name) ** 2
+    rt_sq = _axis_sum(jnp.sum(rtt.astype(dtype) ** 2), axis_name)
     l_w0 = jnp.sum(alpha_b[:, -n_u:] ** 2, axis=(1, 2)) * dmax2
-    l_h0 = (rt_sq + jnp.sum(ut_b * ut_b, axis=(1, 2))) * dmax2
-    cf0 = jnp.stack([
+    l_h0 = (rt_sq + _axis_sum(jnp.sum(ut_b * ut_b, axis=(1, 2)),
+                              axis_name)) * dmax2
+    cf0 = _axis_sum(jnp.stack([
         _cost_t(yt.astype(dtype), dt.astype(dtype),
                 jnp.concatenate([rtt.astype(dtype), ut_b[b]], axis=0),
                 alpha_b[b])
-        for b in range(n_b)])
+        for b in range(n_b)]), axis_name)
     tol_b = tol * cf0 if tol_relative else jnp.full_like(cf0, tol)
-    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
+    G_tt, b_t, ydy = (_axis_sum(t, axis_name)
+                      for t in known_block_grams(R_trunc, d, y))
 
     trace0 = (jnp.full((n_b, n_iter1), jnp.nan, dtype) if record_trace
               else jnp.zeros((n_b, 0), dtype))
 
-    def alpha_phase_one(gu, b_u, usq, alpha, alpha_prev, a2, l_h_prev):
-        return alpha_phase_full(G_tt, b_t, gu, b_u, usq, ydy,
-                                alpha, alpha_prev, a2, l_h_prev,
-                                rt_sq, dmax2, n_iter2, n_u)
-
-    alpha_phase_b = jax.vmap(alpha_phase_one)
+    # member-batched alpha phase: ONE launch for all B members (a vmap of
+    # the single-member kernel serializes across the lifted grid axis)
+    def alpha_phase_b(gu, b_u, usq, alpha, alpha_prev, a2, l_h_prev):
+        return alpha_phase_full_multi(G_tt, b_t, gu, b_u, usq, ydy,
+                                      alpha, alpha_prev, a2, l_h_prev,
+                                      rt_sq, dmax2, n_iter2, n_u)
 
     def active_mask(cf, cf_prev):
         return jnp.abs(cf - cf_prev) >= tol_b
@@ -473,6 +577,9 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
             yt, dt, rtt, alpha[:, :-n_u], alpha[:, -n_u:], ut, upt,
             a1, l_w, l_w_prev, n_iter2, active=active.astype(dtype),
             tile=tile)
+        gu = _axis_sum(gu, axis_name)
+        b_u = _axis_sum(b_u, axis_name)
+        usq = _axis_sum(usq, axis_name)
 
         (alpha_n, alpha_prev_n, a2_n, l_h_prev_n, l_w_n,
          cf_new) = alpha_phase_b(gu, b_u, usq, alpha, alpha_prev,
@@ -503,14 +610,16 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
-                                   "record_trace", "tile", "tol_relative"))
+                                   "record_trace", "tile", "tol_relative",
+                                   "axis_name"))
 def unsupervised_solve_fused_multi(u_b, alpha_b, y, d, n_u: int,
                                    n_iter1: int = 10000,
                                    n_iter2: int = 20,
                                    tol: float = 1e-2,
                                    record_trace: bool = False,
                                    tile: int = 0,
-                                   tol_relative: bool = False):
+                                   tol_relative: bool = False,
+                                   axis_name=None):
     """Batched-restart unsupervised NMF (R = U, lagged-gradient quirk);
     one Y/D read per outer iteration for all members."""
     from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
@@ -526,24 +635,23 @@ def unsupervised_solve_fused_multi(u_b, alpha_b, y, d, n_u: int,
     yt, _ = _pad_lanes(y.T, tile)
     dt, _ = _pad_lanes(d.T, tile)
     ut_b, _ = _pad_lanes(jnp.swapaxes(u_b, 1, 2), tile)   # (B, n_u, N)
-    dmax2 = jnp.max(d) ** 2
+    dmax2 = _axis_max(jnp.max(d), axis_name) ** 2
     l_w0 = jnp.sum(alpha_b * alpha_b, axis=(1, 2)) * dmax2
-    l_h0 = jnp.sum(ut_b * ut_b, axis=(1, 2)) * dmax2
-    cf0 = jnp.stack([
+    l_h0 = _axis_sum(jnp.sum(ut_b * ut_b, axis=(1, 2)), axis_name) * dmax2
+    cf0 = _axis_sum(jnp.stack([
         _cost_t(yt.astype(dtype), dt.astype(dtype), ut_b[b], alpha_b[b])
-        for b in range(n_b)])
+        for b in range(n_b)]), axis_name)
     tol_b = tol * cf0 if tol_relative else jnp.full_like(cf0, tol)
-    ydy = jnp.sum((dt * yt).astype(dtype) * yt.astype(dtype), axis=1)
+    ydy = _axis_sum(jnp.sum((dt * yt).astype(dtype) * yt.astype(dtype),
+                            axis=1), axis_name)
 
     trace0 = (jnp.full((n_b, n_iter1), jnp.nan, dtype) if record_trace
               else jnp.zeros((n_b, 0), dtype))
 
-    def alpha_phase_one(gu, b_u, usq, alpha, alpha_prev, a2, l_h_prev):
-        return alpha_phase_full(None, None, gu, b_u, usq, ydy,
-                                alpha, alpha_prev, a2, l_h_prev,
-                                0.0, dmax2, n_iter2, n_u)
-
-    alpha_phase_b = jax.vmap(alpha_phase_one)
+    def alpha_phase_b(gu, b_u, usq, alpha, alpha_prev, a2, l_h_prev):
+        return alpha_phase_full_multi(None, None, gu, b_u, usq, ydy,
+                                      alpha, alpha_prev, a2, l_h_prev,
+                                      0.0, dmax2, n_iter2, n_u)
 
     def active_mask(cf, cf_prev):
         return jnp.abs(cf - cf_prev) >= tol_b
@@ -565,6 +673,9 @@ def unsupervised_solve_fused_multi(u_b, alpha_b, y, d, n_u: int,
             yt, dt, None, None, alpha, ut, upt,
             a1, l_w, l_w_prev, n_iter2, active=active.astype(dtype),
             lagged=True, tile=tile)
+        gu = _axis_sum(gu, axis_name)
+        b_u = _axis_sum(b_u, axis_name)
+        usq = _axis_sum(usq, axis_name)
 
         (alpha_n, alpha_prev_n, a2_n, l_h_prev_n, l_w_n,
          cf_new) = alpha_phase_b(gu, b_u, usq, alpha, alpha_prev,
@@ -595,14 +706,16 @@ def unsupervised_solve_fused_multi(u_b, alpha_b, y, d, n_u: int,
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
-                                   "record_trace", "tile", "tol_relative"))
+                                   "record_trace", "tile", "tol_relative",
+                                   "axis_name"))
 def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
                              n_u: int,
                              n_iter1: int = 100, n_iter2: int = 500,
                              tol: float = 1e-2,
                              record_trace: bool = False,
                              tile: int = 0,
-                             tol_relative: bool = False):
+                             tol_relative: bool = False,
+                             axis_name=None):
     """Batched-restart purity-constrained solve (Frank-Wolfe alpha);
     one Y/D read per outer iteration for all members."""
     from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
@@ -619,24 +732,23 @@ def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
     dt, _ = _pad_lanes(d.T, tile)
     rtt, _ = _pad_lanes(R_trunc.T, tile)
     ut_b, _ = _pad_lanes(jnp.swapaxes(u_b, 1, 2), tile)   # (B, n_u, N)
-    dmax2 = jnp.max(d) ** 2
+    dmax2 = _axis_max(jnp.max(d), axis_name) ** 2
     l_w0 = jnp.sum(alpha_b[:, -n_u:] ** 2, axis=(1, 2)) * dmax2
-    cf0 = jnp.stack([
+    cf0 = _axis_sum(jnp.stack([
         _cost_t(yt.astype(dtype), dt.astype(dtype),
                 jnp.concatenate([rtt.astype(dtype), ut_b[b]], axis=0),
                 alpha_b[b])
-        for b in range(n_b)])
+        for b in range(n_b)]), axis_name)
     tol_b = tol * cf0 if tol_relative else jnp.full_like(cf0, tol)
-    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
+    G_tt, b_t, ydy = (_axis_sum(t, axis_name)
+                      for t in known_block_grams(R_trunc, d, y))
 
     trace0 = (jnp.full((n_b, n_iter1), jnp.nan, dtype) if record_trace
               else jnp.zeros((n_b, 0), dtype))
 
-    def fw_phase_one(gu, b_u, alpha):
-        return fw_phase_full(G_tt, b_t, gu, b_u, ydy, alpha, purity,
-                             dmax2, n_iter2, n_u)
-
-    fw_phase_b = jax.vmap(fw_phase_one)
+    def fw_phase_b(gu, b_u, alpha):
+        return fw_phase_full_multi(G_tt, b_t, gu, b_u, ydy, alpha,
+                                   purity, dmax2, n_iter2, n_u)
 
     def active_mask(cf, cf_prev):
         return jnp.abs(cf - cf_prev) >= tol_b
@@ -658,6 +770,8 @@ def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
             yt, dt, rtt, alpha[:, :-n_u], alpha[:, -n_u:], ut, upt,
             a1, l_w, l_w_prev, n_iter2, active=active.astype(dtype),
             tile=tile)
+        gu = _axis_sum(gu, axis_name)
+        b_u = _axis_sum(b_u, axis_name)
 
         alpha_n, l_w_n, cf_new = fw_phase_b(gu, b_u, alpha)
 

@@ -236,3 +236,105 @@ def test_dryrun_entrypoints():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(len(jax.devices()))
+
+
+class TestFusedMultiSharded:
+    """The sharded multi-restart megakernel solvers must reproduce the
+    single-device multi solvers (hence the vmapped XLA solvers) on the
+    8-device CPU mesh (interpret mode)."""
+
+    def _batch(self, n_b, n_cpg, n_u, p_full, n_s, seed=21):
+        rng = np.random.default_rng(seed)
+        u0_b = rng.uniform(size=(n_b, n_cpg, n_u))
+        a0_b = np.stack([rng.dirichlet(np.ones(p_full), size=n_s).T
+                         for _ in range(n_b)])
+        return u0_b, a0_b
+
+    def _shard_batch(self, mesh, u0_b, a0_b):
+        u0_s = jax.device_put(u0_b, NamedSharding(
+            mesh, P(None, CPG_AXIS, None)))
+        a0_s = jax.device_put(a0_b, NamedSharding(mesh, P()))
+        return u0_s, a0_s
+
+    def test_partial_ref_multi_trajectory(self):
+        mesh = make_mesh(jax.devices())
+        y, d, Rt, u0, _ = _problem()
+        n_u = u0.shape[1]
+        n_cpg, n_s = y.shape
+        u0_b, a0_b = self._batch(3, n_cpg, n_u, Rt.shape[1] + n_u, n_s)
+        want = jax.vmap(lambda u0_, a0_: partial_ref_solve(
+            u0_, a0_, jnp.asarray(y), jnp.asarray(d), jnp.asarray(Rt),
+            n_u, n_iter1=10, n_iter2=5, tol=1e-9,
+            record_trace=True))(jnp.asarray(u0_b), jnp.asarray(a0_b))
+        y_s, d_s, Rt_s = shard_dataset(mesh, y, d, Rt)
+        u0_s, a0_s = self._shard_batch(mesh, u0_b, a0_b)
+        got = fused.partial_ref_solve_fused_multi_sharded(
+            u0_s, a0_s, y_s, d_s, Rt_s, n_u,
+            n_iter1=10, n_iter2=5, tol=1e-9, record_trace=True)
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(want[0]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(want[1]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[2]["trace"]),
+                                   np.asarray(want[2]["trace"]),
+                                   rtol=1e-8)
+        assert len(got[0].sharding.device_set) > 1
+
+    def test_unsupervised_multi_trajectory(self):
+        mesh = make_mesh(jax.devices())
+        y, d, _, _, _ = _problem(n_ct=0, n_u=2)
+        n_u = 2
+        n_cpg, n_s = y.shape
+        u0_b, a0_b = self._batch(3, n_cpg, n_u, n_u, n_s, seed=22)
+        want = jax.vmap(lambda u0_, a0_: unsupervised_solve(
+            u0_, a0_, jnp.asarray(y), jnp.asarray(d), n_u,
+            n_iter1=8, n_iter2=5, tol=1e-9))(jnp.asarray(u0_b),
+                                             jnp.asarray(a0_b))
+        y_s, d_s, _ = shard_dataset(mesh, y, d, None)
+        u0_s, a0_s = self._shard_batch(mesh, u0_b, a0_b)
+        got = fused.unsupervised_solve_fused_multi_sharded(
+            u0_s, a0_s, y_s, d_s, n_u, n_iter1=8, n_iter2=5, tol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(want[0]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[2]["cost"]),
+                                   np.asarray(want[2]["cost"]),
+                                   rtol=1e-9)
+
+    def test_purity_multi_trajectory(self):
+        mesh = make_mesh(jax.devices())
+        y, d, Rt, u0, _ = _problem()
+        n_u = u0.shape[1]
+        n_cpg, n_s = y.shape
+        purity = np.full(n_s, 0.35)
+        u0_b, a0_b = self._batch(3, n_cpg, n_u, Rt.shape[1] + n_u, n_s,
+                                 seed=23)
+        want = jax.vmap(lambda u0_, a0_: purity_solve(
+            u0_, a0_, jnp.asarray(y), jnp.asarray(d), jnp.asarray(Rt),
+            jnp.asarray(purity), n_u, n_iter1=6, n_iter2=10,
+            tol=1e-9))(jnp.asarray(u0_b), jnp.asarray(a0_b))
+        y_s, d_s, Rt_s = shard_dataset(mesh, y, d, Rt)
+        u0_s, a0_s = self._shard_batch(mesh, u0_b, a0_b)
+        got = fused.purity_solve_fused_multi_sharded(
+            u0_s, a0_s, y_s, d_s, Rt_s, jnp.asarray(purity), n_u,
+            n_iter1=6, n_iter2=10, tol=1e-9)
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(want[0]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(want[1]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[2]["cost"]),
+                                   np.asarray(want[2]["cost"]),
+                                   rtol=1e-9)
+
+    def test_api_sharded_restarts_use_batch_path(self):
+        # the public restart API on sharded inputs must run (and pick a
+        # finite best member) through the sharded multi path
+        from demethify_tpu.solvers.api import partial_reference_deconv
+
+        mesh = make_mesh(jax.devices())
+        y, d, Rt, _, _ = _problem()
+        y_s, d_s, Rt_s = shard_dataset(mesh, y, d, Rt)
+        res = partial_reference_deconv(
+            y_s, d_s, Rt_s, 1, n_restarts=3,
+            n_iter1=6, n_iter2=4, tol=1e-9, seed=2)
+        assert np.isfinite(res.cost)
+        assert res.u.shape == (y.shape[0], 1)

@@ -80,5 +80,54 @@ def main(which="all"):
               flush=True)
 
 
+def main_multi(n_b=16, n_iter1=20):
+    """Multi-restart megakernel: ms/outer-iter/restart at B members."""
+    rng = np.random.default_rng(3)
+    y, d, Rt, u0, a0 = make_problem()
+    n_cpg, n_s = y.shape
+    u0_b = rng.uniform(size=(n_b, n_cpg, N_U)).astype(np.float32)
+    a0_b = np.stack([
+        rng.dirichlet(np.ones(Rt.shape[1] + N_U), size=n_s).T
+        for _ in range(n_b)]).astype(np.float32)
+    yj, dj, Rtj = (jax.device_put(x) for x in (y, d, Rt))
+    ub, ab = jax.device_put(u0_b), jax.device_put(a0_b)
+    jax.block_until_ready([yj, dj, Rtj, ub, ab])
+
+    ms, top = device_ms("/tmp/prof_multi", lambda: float(jnp.sum(
+        fused.partial_ref_solve_fused_multi(
+            ub, ab, yj, dj, Rtj, N_U, n_iter1=n_iter1, n_iter2=N_INNER,
+            tol=0.0)[2]["cost"])))
+    print(f"partial-ref fused multi B={n_b}: "
+          f"{ms/n_iter1/n_b:.4f} ms/iter/restart [{top}]", flush=True)
+
+
+def main_multi_purity(n_b=8, n_iter1=5):
+    rng = np.random.default_rng(4)
+    y, d, Rt, u0, a0 = make_problem()
+    n_cpg, n_s = y.shape
+    purity = jnp.asarray(rng.uniform(0.3, 0.8, size=n_s), jnp.float32)
+    u0_b = rng.uniform(size=(n_b, n_cpg, N_U)).astype(np.float32)
+    a0_b = np.stack([
+        rng.dirichlet(np.ones(Rt.shape[1] + N_U), size=n_s).T
+        for _ in range(n_b)]).astype(np.float32)
+    yj, dj, Rtj = (jax.device_put(x) for x in (y, d, Rt))
+    ub, ab = jax.device_put(u0_b), jax.device_put(a0_b)
+    jax.block_until_ready([yj, dj, Rtj, ub, ab])
+
+    ms, top = device_ms("/tmp/prof_multi_pur", lambda: float(jnp.sum(
+        fused.purity_solve_fused_multi(
+            ub, ab, yj, dj, Rtj, purity, N_U, n_iter1=n_iter1,
+            n_iter2=500, tol=0.0)[2]["cost"])))
+    print(f"purity fused multi B={n_b}: "
+          f"{ms/n_iter1/n_b:.4f} ms/iter/restart (500 FW) [{top}]",
+          flush=True)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "all")
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "multi":
+        main_multi()
+    elif which == "multi_purity":
+        main_multi_purity()
+    else:
+        main(which)
