@@ -106,6 +106,16 @@ def build_parser() -> argparse.ArgumentParser:
                              'initial cost (recommended for megabase-scale '
                              'float32 runs, where an absolute 1e-2 is below '
                              'accumulation noise)')
+    parser.add_argument('--cimethod', choices=['auto', 'resample',
+                                               'weights'],
+                        default='auto',
+                        help='Bootstrap layout: "resample" gathers '
+                             'replicate copies of (Y, D, R); "weights" '
+                             'solves the equivalent row-multiplicity '
+                             'problem with zero data duplication '
+                             '(genome-scale CIs); "auto" switches to '
+                             'weights on large inputs when the init has '
+                             'a weighted form')
     parser.add_argument('--trace', action='store_true',
                         help='Record and write the solver cost trajectory '
                              'to <outdir>/cost_trajectory.csv')
@@ -359,7 +369,7 @@ def main(argv=None):
             purity=purity, key=jax.random.fold_in(key, 987654321),
             n_rows=n_cpg_orig, tol_relative=args.reltol,
             process_count=n_procs, process_index=proc_id,
-            devices=bt_devices)
+            devices=bt_devices, method=args.cimethod)
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         if proc_id == 0:
             ci_props_df = write_ci_proportions(

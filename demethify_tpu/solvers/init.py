@@ -58,8 +58,15 @@ def _zero_guard(alpha, n_u):
     return jnp.concatenate([known, alpha[-n_u:]], axis=0)
 
 
-def init_partial(key, init_option: str, y, d, R_trunc, n_u: int):
-    """Partial-reference init -> (u, alpha) with alpha: (n_ct + n_u, n_s)."""
+def init_partial(key, init_option: str, y, d, R_trunc, n_u: int,
+                 row_weights=None):
+    """Partial-reference init -> (u, alpha) with alpha: (n_ct + n_u, n_s).
+
+    ``row_weights`` (optional, the bootstrap's row-multiplicity form):
+    the 'uniform' option's WLS weights each row's coverage by its
+    multiplicity — exactly the WLS on the resampled rows. The other
+    options ignore it (uniform_/beta are data-independent; SVD/ICA have
+    no weighted form and are rejected upstream)."""
     n_cpg, n_s = y.shape
     n_ct = R_trunc.shape[1]
     p = n_ct + n_u
@@ -71,7 +78,9 @@ def init_partial(key, init_option: str, y, d, R_trunc, n_u: int):
     k1, k2 = jax.random.split(key)
     if init_option == "uniform":
         u = _rand_u(k1, n_cpg, n_u, dtype)
-        alpha = wls_intercept_batch(y, d, jnp.concatenate([R_trunc, u], 1))
+        dw = d if row_weights is None else d * row_weights[:, None]
+        alpha = wls_intercept_batch(y, dw,
+                                    jnp.concatenate([R_trunc, u], 1))
     elif init_option == "uniform_":
         u = _rand_u(k1, n_cpg, n_u, dtype)
         alpha = _rand_dirichlet_alpha(k2, p, n_s, dtype)
@@ -94,12 +103,14 @@ def init_partial(key, init_option: str, y, d, R_trunc, n_u: int):
     return u, alpha
 
 
-def init_purity(key, init_option: str, y, d, R_trunc, n_u: int, purity):
+def init_purity(key, init_option: str, y, d, R_trunc, n_u: int, purity,
+                row_weights=None):
     """Purity-constrained init (reference `deconvolution.py:228-267`).
 
     Known block scaled by purity, unknown by (1 - purity) — except the SVD
     branch, which (like the reference, `deconvolution.py:262`) omits the
     (1 - purity) factor on the unknown block. No zero-guard here.
+    ``row_weights`` as in init_partial (weighted-bootstrap WLS).
     """
     n_cpg, n_s = y.shape
     n_ct = R_trunc.shape[1]
@@ -112,7 +123,9 @@ def init_purity(key, init_option: str, y, d, R_trunc, n_u: int, purity):
     k1, k2 = jax.random.split(key)
     if init_option == "uniform":
         u = _rand_u(k1, n_cpg, n_u, dtype)
-        alpha = wls_intercept_batch(y, d, jnp.concatenate([R_trunc, u], 1))
+        dw = d if row_weights is None else d * row_weights[:, None]
+        alpha = wls_intercept_batch(y, dw,
+                                    jnp.concatenate([R_trunc, u], 1))
     elif init_option == "uniform_":
         u = _rand_u(k1, n_cpg, n_u, dtype)
         alpha = _rand_dirichlet_alpha(k2, p, n_s, dtype)

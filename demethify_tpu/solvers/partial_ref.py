@@ -45,7 +45,7 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
                       tol: float = 1e-2, use_gram_u: bool = True,
                       record_trace: bool = False,
                       tol_relative: bool = False,
-                      row_mask=None):
+                      row_mask=None, row_weights=None):
     """Run the partial-reference BCD to convergence.
 
     u: (n_cpg, n_u) initial unknown profiles; alpha: (p, n_s) initial
@@ -59,19 +59,46 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
     the padded compile-once model-selection sweep: with inactive u
     columns and alpha rows initialized to zero, the masked solve is
     exactly the lower-rank solve (see selection/batched_sweep.py).
+
+    ``row_weights`` ((n_cpg,) nonneg, optional) solves the ROW-MULTIPLICITY
+    problem: the solve on data where row i appears row_weights[i] times
+    (the bootstrap's with-replacement resample, expressed without
+    materializing gathered copies — see uncertainty/bootstrap.py). The
+    U update is row-separable, so duplicated rows share one trajectory
+    and only the cross-row reductions change: alpha Grams / cost use
+    w-weighted coverage, the Lipschitz norms use the w-weighted ||R||^2,
+    and max(D) runs over rows with w > 0 (a resample can drop the
+    max-coverage row). Rows with w = 0 still carry their own
+    (alpha-conditional) u estimate; they contribute nothing to alpha.
     """
     dtype = accum_dtype(y)
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
-    dmax2 = jnp.max(d).astype(dtype) ** 2
     R0 = jnp.concatenate([R_trunc.astype(dtype), u], axis=1)
+    if row_weights is None:
+        dw = d
+        dmax2 = jnp.max(d).astype(dtype) ** 2
+        rt_sq = jnp.sum(R_trunc * R_trunc)
+        l_h0 = jnp.sum(R0 * R0) * dmax2
+
+        def u_sq(u):
+            return jnp.sum(u * u)
+    else:
+        w = row_weights.astype(dtype)[:, None]
+        dw = d * w
+        rowmax = jnp.max(d, axis=1)
+        dmax2 = jnp.max(jnp.where(row_weights > 0, rowmax,
+                                  0.0)).astype(dtype) ** 2
+        rt_sq = jnp.sum(w * R_trunc * R_trunc)
+        l_h0 = (rt_sq + jnp.sum(w * u * u)) * dmax2
+
+        def u_sq(u):
+            return jnp.sum(w * u * u)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
-    l_h0 = jnp.sum(R0 * R0) * dmax2
-    cf0 = weighted_cost(y, R0, alpha, d)
+    cf0 = weighted_cost(y, R0, alpha, dw)
     tol = tol * cf0 if tol_relative else tol
     # loop-invariant known-block Grams and ||Rt||^2 (ops/gram.py)
-    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
-    rt_sq = jnp.sum(R_trunc * R_trunc)
+    G_tt, b_t, ydy = known_block_grams(R_trunc, dw, y)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -96,8 +123,8 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
                 u, u_prev, a1, l_w_prev, l_w, y, d, R_trunc,
                 a1_block, a2_block, n_iter2)
 
-        G, b = sample_grams_incremental(G_tt, b_t, R_trunc, u, d, y)
-        l_h = (rt_sq + jnp.sum(u * u)) * dmax2
+        G, b = sample_grams_incremental(G_tt, b_t, R_trunc, u, dw, y)
+        l_h = (rt_sq + u_sq(u)) * dmax2
 
         alpha, alpha_prev, a2, l_h_prev = fista.fista_alpha_gram(
             alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2,

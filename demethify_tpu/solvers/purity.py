@@ -33,20 +33,33 @@ def purity_solve(u, alpha, y, d, R_trunc, purity, n_u: int,
                  n_iter1: int = 100, n_iter2: int = 500,
                  tol: float = 1e-2, use_gram_u: bool = True,
                  record_trace: bool = False,
-                 tol_relative: bool = False):
+                 tol_relative: bool = False,
+                 row_weights=None):
     """u: (n_cpg, n_u); alpha: (p, n_s) stacked [known; unknown];
     purity: (n_s,) already flipped to 1 - p/100 by the CLI
-    (reference `demethify.py:77`). Returns (u, alpha, info)."""
+    (reference `demethify.py:77`). Returns (u, alpha, info).
+
+    ``row_weights`` solves the row-multiplicity (bootstrap-resample)
+    problem without gathered copies — same semantics as
+    partial_ref_solve's row_weights."""
     dtype = accum_dtype(y)
     n_ct = R_trunc.shape[1]
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
-    dmax2 = jnp.max(d).astype(dtype) ** 2
+    if row_weights is None:
+        dw = d
+        dmax2 = jnp.max(d).astype(dtype) ** 2
+    else:
+        w = row_weights.astype(dtype)[:, None]
+        dw = d * w
+        rowmax = jnp.max(d, axis=1)
+        dmax2 = jnp.max(jnp.where(row_weights > 0, rowmax,
+                                  0.0)).astype(dtype) ** 2
     R0 = jnp.concatenate([R_trunc.astype(dtype), u], axis=1)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
-    cf0 = weighted_cost(y, R0, alpha, d)
+    cf0 = weighted_cost(y, R0, alpha, dw)
     tol = tol * cf0 if tol_relative else tol
-    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y)
+    G_tt, b_t, ydy = known_block_grams(R_trunc, dw, y)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -70,7 +83,7 @@ def purity_solve(u, alpha, y, d, R_trunc, purity, n_u: int,
                 u, u_prev, a1, l_w_prev, l_w, y, d, R_trunc,
                 a1_block, a2_block, n_iter2)
 
-        G, b = sample_grams_incremental(G_tt, b_t, R_trunc, u, d, y)
+        G, b = sample_grams_incremental(G_tt, b_t, R_trunc, u, dw, y)
 
         alpha1, alpha2 = frank_wolfe_gram(
             alpha[:-n_u], alpha[-n_u:], G, b, purity, n_iter2)

@@ -12,6 +12,25 @@ B=2500 saturates the chip instead of looping serially (the reference's 55 s
 fixture path). Percentiles use NumPy's default linear interpolation, same
 as `np.percentile` in the reference.
 
+Genome-scale form (``method="weights"``): gathered replicate copies cost
+B x (2 n_s + n_ct) x n_cpg floats — prohibitive at megabase scale. A
+with-replacement row resample is EXACTLY the row-MULTIPLICITY problem
+(row i appears w_i ~ Multinomial times), and the solvers' cross-row
+reductions all accept per-row weights (`partial_ref_solve(row_weights=)`):
+the alpha Grams/cost weight the coverage by w, the Lipschitz norms use
+the w-weighted ||R||^2, max(D) runs over surviving rows, and the
+row-separable U update is untouched (duplicated rows share one
+trajectory). Each replicate then costs ONE (n_cpg,) weight vector
+instead of three gathered matrices, and all replicates share the
+original Y/D in memory. Equivalence to the gathered solve is exact when
+the gathered init re-uses per-original-row draws (tested); with the
+standard per-replicate init the two modes differ only in which random
+init a row's copies receive — the same init-RNG freedom that already
+distinguishes this implementation from the reference. u rows absent
+from a resample (w=0) still carry their alpha-conditional estimate, so
+weighted u CIs are indexed by ORIGINAL row (resample mode's u CIs are
+per resampled position, matching the reference's convention).
+
 Deliberate divergence (documented): when `--purity` is active the reference
 bootstrap scales by p/100 while the main path uses 1 - p/100
 (`bootstrap.py:18` vs `demethify.py:77`) — i.e. it bootstraps a different
@@ -24,6 +43,24 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# init options whose weighted form is exact: data-independent draws, or
+# 'uniform' whose WLS becomes a w-weighted WLS. SVD/ICA need the actual
+# resampled matrix (no weighted form) -> resample mode.
+_WEIGHTABLE_INITS = ("uniform_", "beta", "uniform")
+
+
+def _auto_batch_size(n_cpg, n_s, n_ct, n_u, method, itemsize=4,
+                     budget_bytes=2 << 30):
+    """Replicates per device dispatch, sized so the batch's per-replicate
+    state fits the budget. Resample mode materializes gathered copies of
+    (Y, D, R) plus solver carries; weights mode only the weight vector
+    and the u carries."""
+    if method == "weights":
+        per_rep = itemsize * n_cpg * (2 + 6 * max(n_u, 1))
+    else:
+        per_rep = itemsize * n_cpg * 2 * (2 * n_s + n_ct + 2 * n_u + 1)
+    return int(max(1, min(256, budget_bytes // max(per_rep, 1))))
 
 
 def _percentiles(arr: np.ndarray, level: float) -> Tuple[np.ndarray,
@@ -41,14 +78,24 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                  tol: float = 1e-2,
                  purity=None,
                  key=None, seed: int = 1,
-                 batch_size: int = 256,
+                 batch_size=None,
                  n_rows=None,
                  tol_relative: bool = False,
                  process_count: int = 1,
                  process_index: int = 0,
-                 devices=None):
+                 devices=None,
+                 method: str = "auto"):
     """Returns (lower_props, upper_props, lower_u, upper_u); the u bounds
     are None in supervised mode (n_u == 0).
+
+    ``method``: "resample" gathers replicate copies (the reference's
+    data layout; u CIs per resampled row position), "weights" solves the
+    equivalent row-multiplicity problem with zero data duplication
+    (genome-scale; u CIs per original row — see module docstring),
+    "auto" picks weights once the data is large enough for duplication
+    to hurt (and the init has a weighted form — SVD/ICA do not).
+    ``batch_size``: replicates per device dispatch; None sizes it to a
+    ~2 GiB per-batch state budget.
 
     Multi-host scale-out (``process_count > 1``): each process solves a
     contiguous block of the B replicates on ITS devices (y/d/ref must be
@@ -86,6 +133,21 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
     n_sample_rows = n_cpg if n_rows is None else int(n_rows)
     supervised = n_u == 0
 
+    if method == "auto":
+        big = n_cpg * y.shape[1] >= 2_000_000
+        method = ("weights" if big and init_option in _WEIGHTABLE_INITS
+                  else "resample")
+    elif method == "weights" and init_option not in _WEIGHTABLE_INITS:
+        raise ValueError(
+            f"method='weights' has no weighted form for init "
+            f"{init_option!r} (SVD/ICA need the materialized resampled "
+            f"matrix); use method='resample'")
+    if method not in ("resample", "weights"):
+        raise ValueError(f"unknown bootstrap method {method!r}")
+    if batch_size is None:
+        batch_size = _auto_batch_size(n_cpg, y.shape[1], ref.shape[1],
+                                      n_u, method)
+
     def one_replicate(k):
         k_idx, k_init = jax.random.split(k)
         # replicate size == number of REAL rows (n_cpg may be padded)
@@ -111,7 +173,37 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                                             tol_relative=tol_relative)
         return alpha, u
 
-    batched = jax.jit(jax.vmap(one_replicate))
+    def one_replicate_weighted(k):
+        # identical resample draw; the multiplicity vector replaces the
+        # gathered copies (module docstring: exact row-multiplicity form)
+        k_idx, k_init = jax.random.split(k)
+        idx = jax.random.randint(k_idx, (n_sample_rows,), 0,
+                                 n_sample_rows)
+        wvec = jnp.zeros((n_cpg,), y.dtype).at[idx].add(1.0)
+        if supervised:
+            props = wls_intercept_batch(d * y, wvec[:, None] * d, ref)
+            return props, jnp.zeros((n_cpg, 0), y.dtype)
+        if purity is not None:
+            u0, a0 = init_purity(k_init, init_option, y, d, ref, n_u,
+                                 purity, row_weights=wvec)
+            u, alpha, _ = purity_solve(u0, a0, y, d, ref, purity, n_u,
+                                       n_iter1=n_iter1, n_iter2=n_iter2,
+                                       tol=tol,
+                                       tol_relative=tol_relative,
+                                       row_weights=wvec)
+        else:
+            u0, a0 = init_partial(k_init, init_option, y, d, ref, n_u,
+                                  row_weights=wvec)
+            u, alpha, _ = partial_ref_solve(u0, a0, y, d, ref, n_u,
+                                            n_iter1=n_iter1,
+                                            n_iter2=n_iter2, tol=tol,
+                                            tol_relative=tol_relative,
+                                            row_weights=wvec)
+        return alpha, u
+
+    replicate_fn = (one_replicate_weighted if method == "weights"
+                    else one_replicate)
+    batched = jax.jit(jax.vmap(replicate_fn))
 
     key_sharding = None
     n_dev = 1

@@ -1,0 +1,188 @@
+"""Weighted (row-multiplicity) bootstrap: the with-replacement row
+resample solved WITHOUT gathered copies must equal the materialized
+resample exactly.
+
+Equivalence argument (uncertainty/bootstrap.py module docstring): the U
+update is row-separable given alpha, so duplicated rows share one
+trajectory when they share one init; every cross-row reduction (alpha
+Grams, cost, Lipschitz norms, max coverage) is the w-weighted reduction
+over original rows. The tests below pin that argument numerically by
+giving the gathered solve per-ORIGINAL-row init draws (u0_gathered =
+u0[idx]): alpha trajectories, costs, iteration counts, and the sampled
+rows' u values must then agree to float reassociation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from demethify_tpu.ops.nnls import wls_intercept_batch
+from demethify_tpu.solvers.partial_ref import partial_ref_solve
+from demethify_tpu.solvers.purity import purity_solve
+from demethify_tpu.uncertainty.bootstrap import bootstrap_ci
+
+
+def _resample_idx(rng, n, drop_row=None):
+    """Resample indices; optionally force-drop one row (exercises the
+    max-coverage-row-dropped Lipschitz path)."""
+    idx = rng.integers(0, n, size=n)
+    if drop_row is not None:
+        idx = np.where(idx == drop_row, (drop_row + 1) % n, idx)
+    return idx
+
+
+def _weights(idx, n):
+    return np.bincount(idx, minlength=n).astype(np.float64)
+
+
+class TestWeightedSolverEquivalence:
+    def test_partial_ref_matches_gathered(self, small_problem):
+        p = small_problem
+        y, d, Rt = p["y"], p["d"], p["R_trunc"]
+        n_cpg = y.shape[0]
+        n_u = p["n_u"]
+        rng = np.random.default_rng(5)
+        # drop the max-coverage row so dmax differs from the full data
+        drop = int(np.argmax(d.max(axis=1)))
+        idx = _resample_idx(rng, n_cpg, drop_row=drop)
+        w = _weights(idx, n_cpg)
+        assert w[drop] == 0
+        u0 = rng.uniform(size=(n_cpg, n_u))
+        a0 = rng.dirichlet(np.ones(Rt.shape[1] + n_u), size=y.shape[1]).T
+
+        want = partial_ref_solve(
+            jnp.asarray(u0[idx]), jnp.asarray(a0), jnp.asarray(y[idx]),
+            jnp.asarray(d[idx]), jnp.asarray(Rt[idx]), n_u,
+            n_iter1=25, n_iter2=6, tol=1e-6, record_trace=True)
+        got = partial_ref_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), n_u,
+            n_iter1=25, n_iter2=6, tol=1e-6, record_trace=True,
+            row_weights=jnp.asarray(w))
+
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(want[1]), atol=1e-9)
+        assert int(got[2]["n_iter"]) == int(want[2]["n_iter"])
+        w_tr = np.asarray(want[2]["trace"])
+        g_tr = np.asarray(got[2]["trace"])
+        mask = ~np.isnan(w_tr)
+        np.testing.assert_allclose(g_tr[mask], w_tr[mask], rtol=1e-9)
+        # sampled rows' u trajectories coincide: u_gathered[i] = u[idx[i]]
+        np.testing.assert_allclose(np.asarray(want[0]),
+                                   np.asarray(got[0])[idx], atol=1e-9)
+
+    def test_purity_matches_gathered(self, small_problem):
+        p = small_problem
+        y, d, Rt = p["y"], p["d"], p["R_trunc"]
+        n_cpg, n_s = y.shape
+        n_u = p["n_u"]
+        rng = np.random.default_rng(6)
+        idx = _resample_idx(rng, n_cpg)
+        w = _weights(idx, n_cpg)
+        purity = jnp.asarray(rng.uniform(0.3, 0.7, size=n_s))
+        u0 = rng.uniform(size=(n_cpg, n_u))
+        a0 = rng.dirichlet(np.ones(Rt.shape[1] + n_u), size=n_s).T
+
+        want = purity_solve(
+            jnp.asarray(u0[idx]), jnp.asarray(a0), jnp.asarray(y[idx]),
+            jnp.asarray(d[idx]), jnp.asarray(Rt[idx]), purity, n_u,
+            n_iter1=8, n_iter2=15, tol=1e-9)
+        got = purity_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), jnp.asarray(Rt), purity, n_u,
+            n_iter1=8, n_iter2=15, tol=1e-9,
+            row_weights=jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(want[1]), atol=1e-9)
+        np.testing.assert_allclose(float(got[2]["cost"]),
+                                   float(want[2]["cost"]), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(want[0]),
+                                   np.asarray(got[0])[idx], atol=1e-9)
+
+    def test_supervised_wls_matches_gathered(self, small_problem):
+        p = small_problem
+        y, d, Rt = p["y"], p["d"], p["R_trunc"]
+        n_cpg = y.shape[0]
+        rng = np.random.default_rng(7)
+        idx = _resample_idx(rng, n_cpg)
+        w = _weights(idx, n_cpg)[:, None]
+        want = wls_intercept_batch(jnp.asarray((d * y)[idx]),
+                                   jnp.asarray(d[idx]),
+                                   jnp.asarray(Rt[idx]))
+        got = wls_intercept_batch(jnp.asarray(d * y),
+                                  jnp.asarray(w * d), jnp.asarray(Rt))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-10)
+
+    def test_weighted_wls_init_matches_gathered(self, small_problem):
+        # the 'uniform' init's WLS on (y, w*d, [R|u]) == WLS on gathered
+        # rows with the SAME per-original-row u columns
+        p = small_problem
+        y, d, Rt = p["y"], p["d"], p["R_trunc"]
+        n_cpg = y.shape[0]
+        n_u = p["n_u"]
+        rng = np.random.default_rng(8)
+        idx = _resample_idx(rng, n_cpg)
+        w = _weights(idx, n_cpg)[:, None]
+        u0 = rng.uniform(size=(n_cpg, n_u))
+        R = np.hstack([Rt, u0])
+        want = wls_intercept_batch(jnp.asarray(y[idx]),
+                                   jnp.asarray(d[idx]),
+                                   jnp.asarray(R[idx]))
+        got = wls_intercept_batch(jnp.asarray(y), jnp.asarray(w * d),
+                                  jnp.asarray(R))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-10)
+
+
+class TestBootstrapCIWeights:
+    def test_supervised_ci_identical_between_methods(self, small_problem):
+        # supervised replicates are deterministic given the resample draw,
+        # so the two layouts must produce the SAME intervals
+        p = small_problem
+        y, d, Rt = p["y"], p["d"], p["R_trunc"]
+        kw = dict(level=90.0, n_bootstrap=12, key=jax.random.PRNGKey(3),
+                  batch_size=6)
+        lo_r, hi_r, _, _ = bootstrap_ci(y, d, Rt, 0, method="resample",
+                                        **kw)
+        lo_w, hi_w, _, _ = bootstrap_ci(y, d, Rt, 0, method="weights",
+                                        **kw)
+        np.testing.assert_allclose(lo_w, lo_r, atol=1e-9)
+        np.testing.assert_allclose(hi_w, hi_r, atol=1e-9)
+
+    def test_partial_ref_ci_weights_mode(self, small_problem):
+        p = small_problem
+        y, d, Rt = p["y"], p["d"], p["R_trunc"]
+        n_u = p["n_u"]
+        lo_p, hi_p, lo_u, hi_u = bootstrap_ci(
+            y, d, Rt, n_u, level=90.0, n_bootstrap=8,
+            n_iter1=20, n_iter2=5, tol=1e-6,
+            key=jax.random.PRNGKey(4), batch_size=4, method="weights")
+        pp = Rt.shape[1] + n_u
+        assert lo_p.shape == (pp, y.shape[1])
+        assert np.all(lo_p <= hi_p + 1e-12)
+        # weighted u CIs are per ORIGINAL row
+        assert lo_u.shape == (y.shape[0], n_u)
+        assert np.all(np.isfinite(lo_u)) and np.all(np.isfinite(hi_u))
+
+    def test_weights_mode_rejects_svd_init(self, small_problem):
+        p = small_problem
+        import pytest
+
+        with pytest.raises(ValueError, match="weighted form"):
+            bootstrap_ci(p["y"], p["d"], p["R_trunc"], p["n_u"],
+                         level=90.0, n_bootstrap=2, init_option="SVD",
+                         method="weights")
+
+    def test_auto_stays_resample_on_small_input(self, small_problem):
+        # tiny fixture -> auto must keep the reference layout (u CIs per
+        # resampled position: shape (n_rows, n_u) either way here, so
+        # check via identical results to explicit resample)
+        p = small_problem
+        y, d, Rt = p["y"], p["d"], p["R_trunc"]
+        kw = dict(level=90.0, n_bootstrap=4, n_iter1=5, n_iter2=3,
+                  tol=1e-6, key=jax.random.PRNGKey(5), batch_size=2)
+        auto = bootstrap_ci(y, d, Rt, p["n_u"], method="auto", **kw)
+        res = bootstrap_ci(y, d, Rt, p["n_u"], method="resample", **kw)
+        for a, r in zip(auto[:2], res[:2]):
+            np.testing.assert_allclose(a, r, atol=0)
