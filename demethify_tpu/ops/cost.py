@@ -13,8 +13,10 @@ Reference: `cost_f_w`, `demethify/deconvolution.py:14-17`. Two forms:
 import jax.numpy as jnp
 
 
-def weighted_cost(y, R, alpha, d) -> jnp.ndarray:
-    """sum(d * (y - R @ alpha)**2), scalar.
+def weighted_cost(y, R, alpha, d, row_weights=None) -> jnp.ndarray:
+    """sum(d * (y - R @ alpha)**2), scalar. ``row_weights`` additionally
+    scales each row (the bootstrap's row-multiplicity form); the
+    multiply fuses into the reduction.
 
     With bfloat16 storage the whole computation runs in float32 (see
     ops.gram.accum_dtype): the model matmul accumulates f32 on the MXU,
@@ -27,7 +29,10 @@ def weighted_cost(y, R, alpha, d) -> jnp.ndarray:
     acc = accum_dtype(y)
     resid = y.astype(acc) - jnp.einsum("ip,ps->is", R, alpha,
                                        preferred_element_type=acc)
-    return jnp.sum(d.astype(acc) * resid * resid)
+    sq = d.astype(acc) * resid * resid
+    if row_weights is not None:
+        sq = row_weights.astype(acc)[:, None] * sq
+    return jnp.sum(sq)
 
 
 def weighted_cost_gram(G, b, ydy, alpha) -> jnp.ndarray:

@@ -52,34 +52,61 @@ def sample_grams(R, d, y):
     return G, b, ydy
 
 
-def known_block_grams(R_trunc, d, y):
+def known_block_grams(R_trunc, d, y, row_weights=None):
     """Loop-invariant Gram blocks: with R = [Rt | U], the known-known
     block G_tt = Rt' diag(d_s) Rt, the known half of b, and ydy depend
     only on (Rt, D, Y) — compute ONCE before the outer loop.
 
     Returns (G_tt (n_s, n_ct, n_ct), b_t (n_ct, n_s), ydy (n_s,)).
+
+    ``row_weights`` ((n_cpg,), the bootstrap's row-multiplicity form)
+    joins the contractions as an extra einsum operand — XLA fuses the
+    multiply into the reduction, so no (n_cpg, n_s) weighted-coverage
+    array is ever materialized (which matters when this is vmapped over
+    B replicates).
     """
     acc = accum_dtype(y)
-    G_tt = jnp.einsum("ip,is,iq->spq", R_trunc, d, R_trunc,
+    if row_weights is None:
+        G_tt = jnp.einsum("ip,is,iq->spq", R_trunc, d, R_trunc,
+                          preferred_element_type=acc)
+        b_t = jnp.einsum("ip,is->ps", R_trunc, d * y,
+                         preferred_element_type=acc)
+        ydy = jnp.sum((d * y * y).astype(acc), axis=0)
+        return G_tt, b_t, ydy
+    w = row_weights
+    G_tt = jnp.einsum("i,ip,is,iq->spq", w, R_trunc, d, R_trunc,
                       preferred_element_type=acc)
-    b_t = jnp.einsum("ip,is->ps", R_trunc, d * y,
+    b_t = jnp.einsum("i,ip,is->ps", w, R_trunc, d * y,
                      preferred_element_type=acc)
-    ydy = jnp.sum((d * y * y).astype(acc), axis=0)
+    ydy = jnp.einsum("i,is->s", w, (d * y * y).astype(acc),
+                     preferred_element_type=acc)
     return G_tt, b_t, ydy
 
 
-def sample_grams_incremental(G_tt, b_t, R_trunc, u, d, y):
+def sample_grams_incremental(G_tt, b_t, R_trunc, u, d, y,
+                             row_weights=None):
     """Per-iteration Gram assembly: only the u-involved blocks are
     recomputed (G_tu, G_uu, b_u), ~70% fewer FLOPs than rebuilding the
     full p x p Grams when n_ct dominates p. Exactly equals
-    sample_grams([Rt|u], d, y)[:2].
+    sample_grams([Rt|u], d, y)[:2] (w-weighted when row_weights is
+    given; see known_block_grams).
     """
     acc = accum_dtype(y)
-    G_tu = jnp.einsum("ip,is,iu->spu", R_trunc, d, u,
-                      preferred_element_type=acc)
-    G_uu = jnp.einsum("iu,is,iv->suv", u, d, u,
-                      preferred_element_type=acc)
-    b_u = jnp.einsum("iu,is->us", u, d * y, preferred_element_type=acc)
+    if row_weights is None:
+        G_tu = jnp.einsum("ip,is,iu->spu", R_trunc, d, u,
+                          preferred_element_type=acc)
+        G_uu = jnp.einsum("iu,is,iv->suv", u, d, u,
+                          preferred_element_type=acc)
+        b_u = jnp.einsum("iu,is->us", u, d * y,
+                         preferred_element_type=acc)
+    else:
+        w = row_weights
+        G_tu = jnp.einsum("i,ip,is,iu->spu", w, R_trunc, d, u,
+                          preferred_element_type=acc)
+        G_uu = jnp.einsum("i,iu,is,iv->suv", w, u, d, u,
+                          preferred_element_type=acc)
+        b_u = jnp.einsum("i,iu,is->us", w, u, d * y,
+                         preferred_element_type=acc)
     top = jnp.concatenate([G_tt, G_tu], axis=2)
     bottom = jnp.concatenate([jnp.swapaxes(G_tu, 1, 2), G_uu], axis=2)
     G = jnp.concatenate([top, bottom], axis=1)

@@ -76,7 +76,6 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
     alpha = alpha.astype(dtype)
     R0 = jnp.concatenate([R_trunc.astype(dtype), u], axis=1)
     if row_weights is None:
-        dw = d
         dmax2 = jnp.max(d).astype(dtype) ** 2
         rt_sq = jnp.sum(R_trunc * R_trunc)
         l_h0 = jnp.sum(R0 * R0) * dmax2
@@ -85,7 +84,6 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
             return jnp.sum(u * u)
     else:
         w = row_weights.astype(dtype)[:, None]
-        dw = d * w
         rowmax = jnp.max(d, axis=1)
         dmax2 = jnp.max(jnp.where(row_weights > 0, rowmax,
                                   0.0)).astype(dtype) ** 2
@@ -95,10 +93,12 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
         def u_sq(u):
             return jnp.sum(w * u * u)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
-    cf0 = weighted_cost(y, R0, alpha, dw)
+    cf0 = weighted_cost(y, R0, alpha, d, row_weights=row_weights)
     tol = tol * cf0 if tol_relative else tol
-    # loop-invariant known-block Grams and ||Rt||^2 (ops/gram.py)
-    G_tt, b_t, ydy = known_block_grams(R_trunc, dw, y)
+    # loop-invariant known-block Grams and ||Rt||^2 (ops/gram.py);
+    # row_weights joins the contractions fused (no materialized w*D)
+    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y,
+                                       row_weights=row_weights)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -123,7 +123,8 @@ def partial_ref_solve(u, alpha, y, d, R_trunc, n_u: int,
                 u, u_prev, a1, l_w_prev, l_w, y, d, R_trunc,
                 a1_block, a2_block, n_iter2)
 
-        G, b = sample_grams_incremental(G_tt, b_t, R_trunc, u, dw, y)
+        G, b = sample_grams_incremental(G_tt, b_t, R_trunc, u, d, y,
+                                        row_weights=row_weights)
         l_h = (rt_sq + u_sq(u)) * dmax2
 
         alpha, alpha_prev, a2, l_h_prev = fista.fista_alpha_gram(

@@ -47,19 +47,17 @@ def purity_solve(u, alpha, y, d, R_trunc, purity, n_u: int,
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
     if row_weights is None:
-        dw = d
         dmax2 = jnp.max(d).astype(dtype) ** 2
     else:
-        w = row_weights.astype(dtype)[:, None]
-        dw = d * w
         rowmax = jnp.max(d, axis=1)
         dmax2 = jnp.max(jnp.where(row_weights > 0, rowmax,
                                   0.0)).astype(dtype) ** 2
     R0 = jnp.concatenate([R_trunc.astype(dtype), u], axis=1)
     l_w0 = jnp.sum(alpha[-n_u:] ** 2) * dmax2
-    cf0 = weighted_cost(y, R0, alpha, dw)
+    cf0 = weighted_cost(y, R0, alpha, d, row_weights=row_weights)
     tol = tol * cf0 if tol_relative else tol
-    G_tt, b_t, ydy = known_block_grams(R_trunc, dw, y)
+    G_tt, b_t, ydy = known_block_grams(R_trunc, d, y,
+                                       row_weights=row_weights)
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
@@ -83,7 +81,8 @@ def purity_solve(u, alpha, y, d, R_trunc, purity, n_u: int,
                 u, u_prev, a1, l_w_prev, l_w, y, d, R_trunc,
                 a1_block, a2_block, n_iter2)
 
-        G, b = sample_grams_incremental(G_tt, b_t, R_trunc, u, dw, y)
+        G, b = sample_grams_incremental(G_tt, b_t, R_trunc, u, d, y,
+                                        row_weights=row_weights)
 
         alpha1, alpha2 = frank_wolfe_gram(
             alpha[:-n_u], alpha[-n_u:], G, b, purity, n_iter2)

@@ -57,7 +57,9 @@ def _auto_batch_size(n_cpg, n_s, n_ct, n_u, method, itemsize=4,
     (Y, D, R) plus solver carries; weights mode only the weight vector
     and the u carries."""
     if method == "weights":
-        per_rep = itemsize * n_cpg * (2 + 6 * max(n_u, 1))
+        # weight vector + u/u_prev carries + the vmapped C-build's
+        # per-member (n_cpg, n_s) residual temporary
+        per_rep = itemsize * n_cpg * (2 + 6 * max(n_u, 1) + n_s)
     else:
         per_rep = itemsize * n_cpg * 2 * (2 * n_s + n_ct + 2 * n_u + 1)
     return int(max(1, min(256, budget_bytes // max(per_rep, 1))))

@@ -6,6 +6,11 @@ B x (2 n_s + n_ct) x n_cpg floats of copies (100 MB per replicate at 1M
 sites x 10 samples), the weighted batch one (n_cpg,) vector per
 replicate. This script times B replicates through each layout at a fixed
 iteration budget (tol=0) and prints seconds per replicate.
+
+MEASURED (v5e, B=16, 50x20 iters, 1M sites): weighted-batch DEVICE time
+316 ms total = 0.395 ms/outer-iter/replicate (jax.profiler; the ~60 s
+wall on this dev image is the remote axon tunnel + trace overhead, not
+compute — see tools/profile_solvers.device_ms for honest numbers).
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
