@@ -345,10 +345,20 @@ def main(argv=None):
                              "bootstrap resamples the reference rows).\n")
             sys.exit(1)
         level, n_boot = args.confidence
+        from demethify_tpu.uncertainty.bootstrap import resolve_method
+        ci_method = resolve_method(args.cimethod, args.init,
+                                   int(np.prod(ds.meth_f.shape)))
         bt_devices = None
-        if args.multihost or args.shard:
-            # bootstrap runs on host-full arrays — row-sharded inputs
-            # would turn every replicate's row gather into an
+        if (args.shard and not args.multihost
+                and ci_method == "weights"):
+            # the weighted (row-multiplicity) layout has no per-replicate
+            # row gather, so it runs directly on the row-sharded arrays:
+            # per-chip memory stays 1/n_devices of the data and the Gram
+            # reductions psum over ICI (genome-scale sharded CIs)
+            y_bt, d_bt, ref_bt = y, d, ref_mat
+        elif args.multihost or args.shard:
+            # resample mode runs on host-full arrays — row-sharded
+            # inputs would turn every replicate's row gather into an
             # all-to-all. --multihost partitions replicates across
             # processes; --shard batch-parallels them across the local
             # devices (data replicated, zero comms per replicate).
@@ -369,7 +379,7 @@ def main(argv=None):
             purity=purity, key=jax.random.fold_in(key, 987654321),
             n_rows=n_cpg_orig, tol_relative=args.reltol,
             process_count=n_procs, process_index=proc_id,
-            devices=bt_devices, method=args.cimethod)
+            devices=bt_devices, method=ci_method)
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         if proc_id == 0:
             ci_props_df = write_ci_proportions(

@@ -50,6 +50,15 @@ import numpy as np
 _WEIGHTABLE_INITS = ("uniform_", "beta", "uniform")
 
 
+def resolve_method(method: str, init_option: str, n_elems: int) -> str:
+    """Resolve "auto" to a concrete layout (shared with the CLI, which
+    needs the answer up front to pick the data placement)."""
+    if method != "auto":
+        return method
+    return ("weights" if n_elems >= 2_000_000
+            and init_option in _WEIGHTABLE_INITS else "resample")
+
+
 def _auto_batch_size(n_cpg, n_s, n_ct, n_u, method, itemsize=4,
                      budget_bytes=2 << 30):
     """Replicates per device dispatch, sized so the batch's per-replicate
@@ -136,9 +145,8 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
     supervised = n_u == 0
 
     if method == "auto":
-        big = n_cpg * y.shape[1] >= 2_000_000
-        method = ("weights" if big and init_option in _WEIGHTABLE_INITS
-                  else "resample")
+        method = resolve_method(method, init_option,
+                                n_cpg * y.shape[1])
     elif method == "weights" and init_option not in _WEIGHTABLE_INITS:
         raise ValueError(
             f"method='weights' has no weighted form for init "

@@ -186,3 +186,33 @@ class TestBootstrapCIWeights:
         res = bootstrap_ci(y, d, Rt, p["n_u"], method="resample", **kw)
         for a, r in zip(auto[:2], res[:2]):
             np.testing.assert_allclose(a, r, atol=0)
+
+
+class TestWeightedBootstrapSharded:
+    def test_row_sharded_matches_local(self, small_problem):
+        # the weighted layout has no per-replicate row gather, so it
+        # runs directly on cpg-row-sharded arrays; results must match
+        # the local run (Gram psums reassociate -> tight tolerance)
+        from demethify_tpu.parallel.mesh import make_mesh, shard_dataset
+
+        p = small_problem
+        y = np.asarray(p["y"])
+        d = np.asarray(p["d"])
+        Rt = np.asarray(p["R_trunc"])
+        n_u = p["n_u"]
+        kw = dict(level=90.0, n_bootstrap=6, n_iter1=10, n_iter2=4,
+                  tol=1e-6, key=jax.random.PRNGKey(7), batch_size=3,
+                  method="weights")
+        local = bootstrap_ci(jnp.asarray(y), jnp.asarray(d),
+                             jnp.asarray(Rt), n_u, **kw)
+        mesh = make_mesh(jax.devices())
+        y_s, d_s, Rt_s = shard_dataset(mesh, y, d, Rt)
+        # padded rows (zero coverage) are excluded from the resample
+        sharded = bootstrap_ci(y_s, d_s, Rt_s, n_u, n_rows=y.shape[0],
+                               **kw)
+        for a, b in zip(local[:2], sharded[:2]):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-9)
+        # u CIs: compare the real (unpadded) rows
+        np.testing.assert_allclose(np.asarray(sharded[2])[:y.shape[0]],
+                                   np.asarray(local[2]), atol=1e-9)
