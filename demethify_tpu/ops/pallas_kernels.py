@@ -554,7 +554,7 @@ def grams(yt, dt, rt, *, tile: int = LANE_TILE):
 
 
 def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
-                                rtt_ref, u_ref, up_ref,
+                                rtt_ref, w_ref, u_ref, up_ref,
                                 u_out_ref, up_out_ref, gu_ref, bu_ref,
                                 usq_ref, *, n_steps, n_u, n_b, lagged):
     k = pl.program_id(0)
@@ -657,19 +657,28 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
 
     # Gram partial sums with each member's (possibly frozen) u. A huge-K
     # (T) contraction with tiny output pays per OUTPUT TILE, so every
-    # reduction is packed into the fewest wide dots.
+    # reduction is packed into the fewest wide dots. With per-member row
+    # weights (w_ref, the weighted bootstrap's multiplicity vectors) the
+    # weight folds into the LHS u rows — every u-involved reduction
+    # carries w exactly once, and the FISTA update above stays raw.
     acc = gu_ref.dtype
     n_ct_loc = rtt.shape[0] if rtt is not None else 0
     u_rows = u.reshape(n_b * n_u, T).astype(acc)
+    if w_ref is not None:
+        w_b = w_ref[:].astype(acc)                   # (B, T)
+        u_rows_w = (u.astype(acc)
+                    * w_b[:, None, :]).reshape(n_b * n_u, T)
+    else:
+        u_rows_w = u_rows
     if n_u == 1:
         # n_u = 1 closed form needs NO du rows at all:
-        #   gu_known[b,s,c] = sum_t u[b] (d[s] rtt[c])   (u vs drt)
-        #   gu_self[b,s]    = sum_t u[b]^2 d[s]          (u^2 vs dt)
-        #   bu[b,s]         = sum_t u[b] (d[s] y[s])     (u vs dy)
-        #   usq[b]          = sum_t u[b]^2               (u^2 vs ones)
+        #   gu_known[b,s,c] = sum_t w u[b] (d[s] rtt[c])   (wu vs drt)
+        #   gu_self[b,s]    = sum_t w u[b]^2 d[s]          (wu*u vs dt)
+        #   bu[b,s]         = sum_t w u[b] (d[s] y[s])     (wu vs dy)
+        #   usq[b]          = sum_t w u[b]^2               (wu*u vs ones)
         # -> ONE (2B, T) x (T, n_s n_ct + 2 n_s + 1) dot.
-        usq_rows = u_rows * u_rows
-        lhs = jnp.concatenate([u_rows, usq_rows], axis=0)
+        usq_rows = u_rows_w * u_rows
+        lhs = jnp.concatenate([u_rows_w, usq_rows], axis=0)
         rhs_parts = []
         if rtt is not None:
             drt = (dt.astype(acc)[:, None, :]
@@ -692,12 +701,15 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
         bu_part = prod[:n_b, o:o + n_s]                      # (B, n_s)
         usq_part = prod[n_b:, o + 2 * n_s:o + 2 * n_s + 1]   # (B, 1)
     else:
-        # general case: lhs stacks [du-rows; u-rows]; the cross-member
-        # (B x B) block of du.u' is tiny and its diagonal is taken
-        du = (dt.reshape(1, n_s, 1, T)
-              * u.reshape(n_b, 1, n_u, T)).reshape(
-            n_b * n_s * n_u, T).astype(acc)
-        lhs = jnp.concatenate([du, u_rows], axis=0)
+        # general case: lhs stacks [du-rows; u-rows] (w folded into the
+        # du build and the bu rows); the cross-member (B x B) block of
+        # du.u' is tiny and its diagonal is taken
+        u_w3 = (u.astype(acc) if w_ref is None
+                else u.astype(acc) * w_b[:, None, :])
+        du = (dt.astype(acc).reshape(1, n_s, 1, T)
+              * u_w3.reshape(n_b, 1, n_u, T)).reshape(
+            n_b * n_s * n_u, T)
+        lhs = jnp.concatenate([du, u_rows_w], axis=0)
         rhs_parts = ([rtt.astype(acc)] if rtt is not None else [])
         rhs_parts += [u_rows, dy.astype(acc)]
         rhs = jnp.concatenate(rhs_parts, axis=0)
@@ -707,7 +719,7 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
         n_du = n_b * n_s * n_u
         bu_part = prod[n_du:, n_ct_loc + n_b * n_u:].reshape(
             n_b, n_u, n_s)
-        usq_part = jnp.sum(u_rows * u_rows, axis=1,
+        usq_part = jnp.sum(u_rows_w * u_rows, axis=1,
                            keepdims=True).reshape(n_b, n_u)
         usq_part = jnp.sum(usq_part, axis=1, keepdims=True)  # (B, 1)
         cross = prod[:n_du, n_ct_loc:n_ct_loc + n_b * n_u].reshape(
@@ -738,13 +750,16 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
 def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
                         a_vec, l_w_vec, l_w_prev_vec, n_steps: int, *,
                         active=None, lagged: bool = False,
-                        tile: int = 4096):
+                        weights=None, tile: int = 4096):
     """Multi-member fused U phase: one (Y, D, Rt) read for all members.
 
     yt/dt (n_s, N), rtt (n_ct, N) or None; a1_b (B, n_ct, n_s) or None;
     a2_b (B, n_u, n_s); ut_b/u_prev_b (B, n_u, N); a/l_w/l_w_prev (B,).
     ``active`` (B,) bool/float: members with active=0 pass their u/u_prev
-    through unchanged (in-kernel freeze — solver termination). Returns
+    through unchanged (in-kernel freeze — solver termination).
+    ``weights`` (B, N), optional: per-member row-multiplicity weights
+    (weighted bootstrap) — folded into the Gram accumulations only; the
+    FISTA update stays per-row raw. Returns
     (ut_b, u_prev_b, a_new (B,), l_w_prev_new (B,),
     gu (B, n_s, n_u, p_r), b_u (B, n_u, n_s), usq (B,)).
     """
@@ -776,37 +791,45 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
         memory_space=pltpu.VMEM)
 
     has_known = rtt is not None
+    has_w = weights is not None
     n_ct = rtt.shape[0] if has_known else 0
     p_r = n_ct + n_u
 
     if has_known:
         rtt, _ = _pad_lanes(rtt, tile)
-        in_specs = [
-            full_spec((n_b, 4)),
-            full_spec((n_b, n_ct, n_s)), full_spec((n_b, n_u, n_s)),
-            lane2(n_s), lane2(n_s), lane2(n_ct),
-            lane3, lane3,
-        ]
-        args = (scal, a1_b, a2_b, yt, dt, rtt, ut_b, u_prev_b)
-        kern = functools.partial(_u_phase_grams_multi_kernel,
-                                 n_steps=n_steps, n_u=n_u, n_b=n_b,
-                                 lagged=lagged)
+        in_specs = [full_spec((n_b, 4)), full_spec((n_b, n_ct, n_s)),
+                    full_spec((n_b, n_u, n_s)),
+                    lane2(n_s), lane2(n_s), lane2(n_ct)]
+        args = [scal, a1_b, a2_b, yt, dt, rtt]
     else:
         dummy = jnp.zeros((1, 1), state_dtype)
-        in_specs = [
-            full_spec((n_b, 4)),
-            full_spec((1, 1)), full_spec((n_b, n_u, n_s)),
-            lane2(n_s), lane2(n_s),
-            lane3, lane3,
-        ]
-        args = (scal, dummy, a2_b, yt, dt, ut_b, u_prev_b)
+        in_specs = [full_spec((n_b, 4)), full_spec((1, 1)),
+                    full_spec((n_b, n_u, n_s)),
+                    lane2(n_s), lane2(n_s)]
+        args = [scal, dummy, a2_b, yt, dt]
+    if has_w:
+        wt, _ = _pad_lanes(weights, tile)             # (B, npad)
+        in_specs.append(lane2(n_b))
+        args.append(wt)
+    in_specs += [lane3, lane3]
+    args += [ut_b, u_prev_b]
 
-        def kern(scal_ref, _dummy, a2b_ref, yt_ref, dt_ref, u_ref,
-                 up_ref, *out_refs):
-            _u_phase_grams_multi_kernel(
-                scal_ref, None, a2b_ref, yt_ref, dt_ref, None,
-                u_ref, up_ref, *out_refs,
-                n_steps=n_steps, n_u=n_u, n_b=n_b, lagged=lagged)
+    def kern(scal_ref, a1_ref, a2b_ref, yt_ref, dt_ref, *rest):
+        i = 0
+        rtt_ref = None
+        if has_known:
+            rtt_ref = rest[i]
+            i += 1
+        w_ref = None
+        if has_w:
+            w_ref = rest[i]
+            i += 1
+        u_ref, up_ref = rest[i], rest[i + 1]
+        out_refs = rest[i + 2:]
+        _u_phase_grams_multi_kernel(
+            scal_ref, a1_ref if has_known else None, a2b_ref, yt_ref,
+            dt_ref, rtt_ref, w_ref, u_ref, up_ref, *out_refs,
+            n_steps=n_steps, n_u=n_u, n_b=n_b, lagged=lagged)
 
     if n_u == 1:
         # flat 2D gram outputs (Mosaic-friendly layouts; see the kernel's

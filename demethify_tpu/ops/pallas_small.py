@@ -356,12 +356,16 @@ def _member_sums(rows, sel_ref):
                                preferred_element_type=rows.dtype)
 
 
-def _alpha_full_multi_kernel(scal_ref, g3_ref, b_ref, lh_ref, a0_ref,
+def _alpha_full_multi_kernel(env_ref, g3_ref, b_ref, lh_ref, a0_ref,
                              lp_ref, a_ref, ap_ref, sel_ref,
                              a_out_ref, ap_out_ref, out_ref, *, n_steps,
                              p, n_u, row_mask_ref):
-    ydy_sum = scal_ref[0, 0]
-    dmax2 = scal_ref[0, 1]
+    # env rows (2, B): per-member dmax^2 and sum(ydy) — constant across
+    # members in the restart case, per-replicate in the weighted
+    # bootstrap (each resample has its own surviving-row max coverage
+    # and its own w-weighted ydy)
+    dmax2_b = env_ref[0:1]                           # (1, B)
+    ydy_sum_b = env_ref[1:2]                         # (1, B)
     b = b_ref[:]
     l_h = lh_ref[:]                                  # (1, C)
 
@@ -389,9 +393,8 @@ def _alpha_full_multi_kernel(scal_ref, g3_ref, b_ref, lh_ref, a0_ref,
     lw_col = jnp.sum(a2blk * a2blk, axis=0, keepdims=True)
     per_member = _member_sums(jnp.concatenate([lw_col, colcost], axis=0),
                               sel_ref)               # (2, B)
-    scale = jnp.stack([dmax2, jnp.ones((), per_member.dtype)])
-    shift = jnp.stack([jnp.zeros((), per_member.dtype), ydy_sum])
-    out_ref[:] = per_member * scale[:, None] + shift[:, None]
+    out_ref[:] = jnp.concatenate(
+        [per_member[0:1] * dmax2_b, per_member[1:2] + ydy_sum_b], axis=0)
 
 
 def _multi_layout(x_bps, p):
@@ -414,14 +417,17 @@ def _tile_members(v_b, n_s):
 def _assemble_G3(gtt, gu_b, n_ct):
     """Per-column Gram stack G3 (p, p, C) with G3[q, i, c] = G_c[i, q],
     c = s*B + b. gu_b: (B, n_s, n_u, p_r) from the multi megakernel;
-    gtt: (n_s, n_ct, n_ct) loop-invariant known block (None for n_ct=0).
-    Mirrors _assemble_G_b's [known; unknown] row order."""
+    gtt: (n_s, n_ct, n_ct) loop-invariant known block, shared across
+    members — or (B, n_s, n_ct, n_ct) per member (weighted bootstrap:
+    each replicate's known Grams carry its own row weights). None for
+    n_ct=0. Mirrors _assemble_G_b's [known; unknown] row order."""
     n_b, n_s = gu_b.shape[0], gu_b.shape[1]
     if n_ct:
         top_right = jnp.swapaxes(gu_b[..., :n_ct], 2, 3)
-        top = jnp.concatenate(
-            [jnp.broadcast_to(gtt, (n_b,) + gtt.shape), top_right],
-            axis=3)                                  # (B, n_s, n_ct, p)
+        gtt_b = (gtt if gtt.ndim == 4
+                 else jnp.broadcast_to(gtt, (n_b,) + gtt.shape))
+        top = jnp.concatenate([gtt_b, top_right],
+                              axis=3)                # (B, n_s, n_ct, p)
         G_full = jnp.concatenate([top, gu_b], axis=2)
     else:
         G_full = gu_b                                # (B, n_s, n_u, n_u)
@@ -431,13 +437,18 @@ def _assemble_G3(gtt, gu_b, n_ct):
 
 
 def _assemble_b_cols(bt, bu_b, n_ct):
-    """Per-column linear term b (p, C): known rows bt[:, s] shared across
-    members; unknown rows from bu_b (B, n_u, n_s)."""
+    """Per-column linear term b (p, C): known rows bt[:, s] (shared
+    (n_ct, n_s), or per-member (B, n_ct, n_s)); unknown rows from
+    bu_b (B, n_u, n_s)."""
     n_b, n_u, n_s = bu_b.shape
     bu = jnp.transpose(bu_b, (1, 2, 0)).reshape(n_u, n_s * n_b)
     if n_ct:
-        bk = jnp.broadcast_to(bt[:, :, None],
-                              (n_ct, n_s, n_b)).reshape(n_ct, n_s * n_b)
+        if bt.ndim == 3:
+            bk = jnp.transpose(bt, (1, 2, 0)).reshape(n_ct, n_s * n_b)
+        else:
+            bk = jnp.broadcast_to(
+                bt[:, :, None], (n_ct, n_s, n_b)).reshape(n_ct,
+                                                          n_s * n_b)
         return jnp.concatenate([bk, bu], axis=0)
     return bu
 
@@ -450,10 +461,14 @@ def alpha_phase_full_multi(gtt, bt, gu_b, bu_b, usq_b, ydy, alpha_b,
     member when vmapping the single-member kernel).
 
     gu_b (B, n_s, n_u, p_r) / bu_b (B, n_u, n_s) / usq_b (B,) come from
-    u_phase_grams_multi; gtt/bt/ydy/rt_sq/dmax2 are shared across
-    members; alpha_b/alpha_prev_b (B, p, n_s); a_b/l_h_prev_b (B,).
-    ``row_mask_b`` (B, p) optionally restricts each member's active alpha
-    rows (padded model-selection sweeps). Returns per-member
+    u_phase_grams_multi; alpha_b/alpha_prev_b (B, p, n_s);
+    a_b/l_h_prev_b (B,). The loop invariants gtt/bt/ydy/rt_sq/dmax2 are
+    shared across members (restart batches) OR per-member — gtt
+    (B, n_s, n_ct, n_ct), bt (B, n_ct, n_s), ydy (B, n_s), rt_sq/dmax2
+    (B,) — for the weighted bootstrap, where every replicate carries its
+    own w-weighted known blocks. ``row_mask_b`` (B, p) optionally
+    restricts each member's active alpha rows (padded model-selection
+    sweeps). Returns per-member
     (alpha_b, alpha_prev_b, a_new_b, l_h_prev_new_b, l_w_b, cost_b).
     """
     n_b, p, n_s = alpha_b.shape
@@ -461,10 +476,12 @@ def alpha_phase_full_multi(gtt, bt, gu_b, bu_b, usq_b, ydy, alpha_b,
     C = n_s * n_b
     dtype = alpha_b.dtype
 
-    l_h_b = (jnp.asarray(rt_sq, dtype) + usq_b.astype(dtype)) \
-        * jnp.asarray(dmax2, dtype)
-    scal = jnp.reshape(jnp.stack([jnp.sum(ydy).astype(dtype),
-                                  jnp.asarray(dmax2, dtype)]), (1, 2))
+    rt_sq_b = jnp.broadcast_to(jnp.asarray(rt_sq, dtype), (n_b,))
+    dmax2_b = jnp.broadcast_to(jnp.asarray(dmax2, dtype), (n_b,))
+    l_h_b = (rt_sq_b + usq_b.astype(dtype)) * dmax2_b
+    ydy_sum_b = jnp.broadcast_to(
+        jnp.sum(ydy.astype(dtype), axis=-1), (n_b,))
+    env = jnp.stack([dmax2_b, ydy_sum_b])                     # (2, B)
     g3 = _assemble_G3(None if n_ct == 0 else gtt.astype(dtype),
                       gu_b.astype(dtype), n_ct)
     bcols = _assemble_b_cols(None if n_ct == 0 else bt.astype(dtype),
@@ -473,10 +490,10 @@ def alpha_phase_full_multi(gtt, bt, gu_b, bu_b, usq_b, ydy, alpha_b,
 
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+    in_specs = [full((2, n_b)),
                 full(g3.shape), full((p, C)), full((1, C)), full((1, C)),
                 full((1, C)), full((p, C)), full((p, C)), full((C, n_b))]
-    args = [scal, g3, bcols,
+    args = [env, g3, bcols,
             _tile_members(l_h_b, n_s),
             _tile_members(a_b.astype(dtype), n_s),
             _tile_members(l_h_prev_b.astype(dtype), n_s),
@@ -489,9 +506,9 @@ def alpha_phase_full_multi(gtt, bt, gu_b, bu_b, usq_b, ydy, alpha_b,
         in_specs.append(full((p, C)))
         args.append(mask_pc)
 
-        def kern(scal_ref, g3_ref, b_ref, lh_ref, a0_ref, lp_ref, a_ref,
+        def kern(env_ref, g3_ref, b_ref, lh_ref, a0_ref, lp_ref, a_ref,
                  ap_ref, sel_ref, mask_ref, a_out, ap_out, out):
-            _alpha_full_multi_kernel(scal_ref, g3_ref, b_ref, lh_ref,
+            _alpha_full_multi_kernel(env_ref, g3_ref, b_ref, lh_ref,
                                      a0_ref, lp_ref, a_ref, ap_ref,
                                      sel_ref, a_out, ap_out, out,
                                      n_steps=n_steps, p=p, n_u=n_u,
@@ -522,11 +539,11 @@ def alpha_phase_full_multi(gtt, bt, gu_b, bu_b, usq_b, ydy, alpha_b,
             a_out, l_h_prev_out, out[0], out[1])
 
 
-def _fw_full_multi_kernel(scal_ref, g3_ref, b_ref, a_ref, pur_ref,
+def _fw_full_multi_kernel(env_ref, g3_ref, b_ref, a_ref, pur_ref,
                           sel_ref, a_out_ref, out_ref, *, n_steps, p, p1,
                           n_u):
-    ydy_sum = scal_ref[0, 0]
-    dmax2 = scal_ref[0, 1]
+    dmax2_b = env_ref[0:1]                           # (1, B)
+    ydy_sum_b = env_ref[1:2]
     b = b_ref[:]
     purity = pur_ref[:]                              # (1, C)
     n_cols = b.shape[1]
@@ -563,9 +580,8 @@ def _fw_full_multi_kernel(scal_ref, g3_ref, b_ref, a_ref, pur_ref,
     lw_col = jnp.sum(a2blk * a2blk, axis=0, keepdims=True)
     per_member = _member_sums(jnp.concatenate([lw_col, colcost], axis=0),
                               sel_ref)               # (2, B)
-    scale = jnp.stack([dmax2, jnp.ones((), per_member.dtype)])
-    shift = jnp.stack([jnp.zeros((), per_member.dtype), ydy_sum])
-    out_ref[:] = per_member * scale[:, None] + shift[:, None]
+    out_ref[:] = jnp.concatenate(
+        [per_member[0:1] * dmax2_b, per_member[1:2] + ydy_sum_b], axis=0)
 
 
 def fw_phase_full_multi(gtt, bt, gu_b, bu_b, ydy, alpha_b, purity, dmax2,
@@ -575,6 +591,8 @@ def fw_phase_full_multi(gtt, bt, gu_b, bu_b, ydy, alpha_b, purity, dmax2,
     bound steps (purity default n_iter2=500), so de-serializing the
     member axis is worth ~Bx on the alpha half of the purity solver.
 
+    The loop invariants gtt/bt/ydy/dmax2 may be shared or per-member
+    (weighted bootstrap), as in alpha_phase_full_multi.
     Returns (alpha_b, l_w_b, cost_b); alpha_b stacked [known; unknown].
     """
     n_b, p, n_s = alpha_b.shape
@@ -582,8 +600,10 @@ def fw_phase_full_multi(gtt, bt, gu_b, bu_b, ydy, alpha_b, purity, dmax2,
     C = n_s * n_b
     dtype = alpha_b.dtype
 
-    scal = jnp.reshape(jnp.stack([jnp.sum(ydy).astype(dtype),
-                                  jnp.asarray(dmax2, dtype)]), (1, 2))
+    dmax2_b = jnp.broadcast_to(jnp.asarray(dmax2, dtype), (n_b,))
+    ydy_sum_b = jnp.broadcast_to(
+        jnp.sum(ydy.astype(dtype), axis=-1), (n_b,))
+    env = jnp.stack([dmax2_b, ydy_sum_b])                     # (2, B)
     g3 = _assemble_G3(None if n_ct == 0 else gtt.astype(dtype),
                       gu_b.astype(dtype), n_ct)
     bcols = _assemble_b_cols(None if n_ct == 0 else bt.astype(dtype),
@@ -597,14 +617,14 @@ def fw_phase_full_multi(gtt, bt, gu_b, bu_b, ydy, alpha_b, purity, dmax2,
     a_new, out = pl.pallas_call(
         functools.partial(_fw_full_multi_kernel, n_steps=n_steps, p=p,
                           p1=n_ct, n_u=n_u),
-        in_specs=[pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+        in_specs=[full((2, n_b)),
                   full(g3.shape), full((p, C)), full((p, C)),
                   full((1, C)), full((C, n_b))],
         out_specs=[full((p, C)), full((2, n_b))],
         out_shape=[jax.ShapeDtypeStruct((p, C), dtype),
                    jax.ShapeDtypeStruct((2, n_b), dtype)],
         interpret=_interpret(),
-    )(scal, g3, bcols, _multi_layout(alpha_b, p), pur_row, sel)
+    )(env, g3, bcols, _multi_layout(alpha_b, p), pur_row, sel)
     return _multi_unlayout(a_new, n_b, n_s), out[0], out[1]
 
 

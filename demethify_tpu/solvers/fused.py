@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from demethify_tpu.ops.cost import weighted_cost
 from demethify_tpu.ops.gram import accum_dtype, known_block_grams
 from demethify_tpu.ops.pallas_small import (
     alpha_phase_full,
@@ -506,7 +507,8 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
                                   record_trace: bool = False,
                                   tile: int = 0,
                                   tol_relative: bool = False,
-                                  axis_name=None):
+                                  axis_name=None,
+                                  row_weights_b=None):
     """Batched-restart partial-reference solve; same per-member
     trajectories as vmapping partial_ref_solve_fused. u_b: (B, n_cpg,
     n_u); alpha_b: (B, p, n_s). Returns (u_b, alpha_b, info) with
@@ -516,6 +518,14 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
     mesh axis (y/d/R_trunc/u_b hold this device's CpG row block); every
     cross-CpG reduction psums over the axis and the per-member U FISTA
     phases stay shard-local, exactly like the single-member sharded form.
+
+    With ``row_weights_b`` ((B, n_cpg) nonneg) each member solves ITS OWN
+    row-multiplicity problem (one bootstrap replicate per member) on the
+    SHARED (Y, D, Rt): the weights fold into the megakernel's Gram
+    accumulations, the per-member known-block Grams / Lipschitz norms /
+    max-coverage are w-weighted, and the raw U FISTA stays shared — so B
+    bootstrap replicates cost one (Y, D, Rt) read per outer iteration.
+    Trajectories equal vmapping partial_ref_solve(row_weights=...).
     """
     from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
 
@@ -531,19 +541,41 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
     dt, _ = _pad_lanes(d.T, tile)
     rtt, _ = _pad_lanes(R_trunc.T, tile)
     ut_b, _ = _pad_lanes(jnp.swapaxes(u_b, 1, 2), tile)   # (B, n_u, N)
-    dmax2 = _axis_max(jnp.max(d), axis_name) ** 2
-    rt_sq = _axis_sum(jnp.sum(rtt.astype(dtype) ** 2), axis_name)
+    if row_weights_b is None:
+        wt_b = None
+        dmax2 = _axis_max(jnp.max(d), axis_name) ** 2
+        rt_sq = _axis_sum(jnp.sum(rtt.astype(dtype) ** 2), axis_name)
+        usq0 = _axis_sum(jnp.sum(ut_b * ut_b, axis=(1, 2)), axis_name)
+        cf0 = _axis_sum(jnp.stack([
+            _cost_t(yt.astype(dtype), dt.astype(dtype),
+                    jnp.concatenate([rtt.astype(dtype), ut_b[b]],
+                                    axis=0),
+                    alpha_b[b])
+            for b in range(n_b)]), axis_name)
+        G_tt, b_t, ydy = (_axis_sum(t, axis_name)
+                          for t in known_block_grams(R_trunc, d, y))
+    else:
+        w_b = row_weights_b.astype(dtype)
+        wt_b, _ = _pad_lanes(w_b, tile)               # (B, npad)
+        rowmax = jnp.max(d, axis=1)
+        dmax2 = _axis_max(
+            jnp.max(jnp.where(w_b > 0, rowmax[None, :], 0.0), axis=1),
+            axis_name) ** 2                           # (B,)
+        rt_sq = _axis_sum(
+            w_b @ jnp.sum((R_trunc * R_trunc).astype(dtype), axis=1),
+            axis_name)                                # (B,)
+        usq0 = _axis_sum(jnp.einsum("bi,biu->b", w_b, u_b * u_b),
+                         axis_name)
+        cf0 = _axis_sum(jax.vmap(
+            lambda u0, a0, w: weighted_cost(
+                y, jnp.concatenate([R_trunc.astype(dtype), u0], axis=1),
+                a0, d, row_weights=w))(u_b, alpha_b, w_b), axis_name)
+        G_tt, b_t, ydy = (_axis_sum(t, axis_name) for t in jax.vmap(
+            lambda w: known_block_grams(R_trunc, d, y,
+                                        row_weights=w))(w_b))
     l_w0 = jnp.sum(alpha_b[:, -n_u:] ** 2, axis=(1, 2)) * dmax2
-    l_h0 = (rt_sq + _axis_sum(jnp.sum(ut_b * ut_b, axis=(1, 2)),
-                              axis_name)) * dmax2
-    cf0 = _axis_sum(jnp.stack([
-        _cost_t(yt.astype(dtype), dt.astype(dtype),
-                jnp.concatenate([rtt.astype(dtype), ut_b[b]], axis=0),
-                alpha_b[b])
-        for b in range(n_b)]), axis_name)
+    l_h0 = (rt_sq + usq0) * dmax2
     tol_b = tol * cf0 if tol_relative else jnp.full_like(cf0, tol)
-    G_tt, b_t, ydy = (_axis_sum(t, axis_name)
-                      for t in known_block_grams(R_trunc, d, y))
 
     trace0 = (jnp.full((n_b, n_iter1), jnp.nan, dtype) if record_trace
               else jnp.zeros((n_b, 0), dtype))
@@ -576,7 +608,7 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
         ut_n, upt_n, a1_n, l_w_prev_n, gu, b_u, usq = u_phase_grams_multi(
             yt, dt, rtt, alpha[:, :-n_u], alpha[:, -n_u:], ut, upt,
             a1, l_w, l_w_prev, n_iter2, active=active.astype(dtype),
-            tile=tile)
+            weights=wt_b, tile=tile)
         gu = _axis_sum(gu, axis_name)
         b_u = _axis_sum(b_u, axis_name)
         usq = _axis_sum(usq, axis_name)
@@ -715,9 +747,12 @@ def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
                              record_trace: bool = False,
                              tile: int = 0,
                              tol_relative: bool = False,
-                             axis_name=None):
+                             axis_name=None,
+                             row_weights_b=None):
     """Batched-restart purity-constrained solve (Frank-Wolfe alpha);
-    one Y/D read per outer iteration for all members."""
+    one Y/D read per outer iteration for all members. ``row_weights_b``
+    runs one bootstrap replicate per member on the shared data (see
+    partial_ref_solve_fused_multi)."""
     from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
 
     dtype = accum_dtype(y)
@@ -732,16 +767,33 @@ def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
     dt, _ = _pad_lanes(d.T, tile)
     rtt, _ = _pad_lanes(R_trunc.T, tile)
     ut_b, _ = _pad_lanes(jnp.swapaxes(u_b, 1, 2), tile)   # (B, n_u, N)
-    dmax2 = _axis_max(jnp.max(d), axis_name) ** 2
+    if row_weights_b is None:
+        wt_b = None
+        dmax2 = _axis_max(jnp.max(d), axis_name) ** 2
+        cf0 = _axis_sum(jnp.stack([
+            _cost_t(yt.astype(dtype), dt.astype(dtype),
+                    jnp.concatenate([rtt.astype(dtype), ut_b[b]],
+                                    axis=0),
+                    alpha_b[b])
+            for b in range(n_b)]), axis_name)
+        G_tt, b_t, ydy = (_axis_sum(t, axis_name)
+                          for t in known_block_grams(R_trunc, d, y))
+    else:
+        w_b = row_weights_b.astype(dtype)
+        wt_b, _ = _pad_lanes(w_b, tile)
+        rowmax = jnp.max(d, axis=1)
+        dmax2 = _axis_max(
+            jnp.max(jnp.where(w_b > 0, rowmax[None, :], 0.0), axis=1),
+            axis_name) ** 2                           # (B,)
+        cf0 = _axis_sum(jax.vmap(
+            lambda u0, a0, w: weighted_cost(
+                y, jnp.concatenate([R_trunc.astype(dtype), u0], axis=1),
+                a0, d, row_weights=w))(u_b, alpha_b, w_b), axis_name)
+        G_tt, b_t, ydy = (_axis_sum(t, axis_name) for t in jax.vmap(
+            lambda w: known_block_grams(R_trunc, d, y,
+                                        row_weights=w))(w_b))
     l_w0 = jnp.sum(alpha_b[:, -n_u:] ** 2, axis=(1, 2)) * dmax2
-    cf0 = _axis_sum(jnp.stack([
-        _cost_t(yt.astype(dtype), dt.astype(dtype),
-                jnp.concatenate([rtt.astype(dtype), ut_b[b]], axis=0),
-                alpha_b[b])
-        for b in range(n_b)]), axis_name)
     tol_b = tol * cf0 if tol_relative else jnp.full_like(cf0, tol)
-    G_tt, b_t, ydy = (_axis_sum(t, axis_name)
-                      for t in known_block_grams(R_trunc, d, y))
 
     trace0 = (jnp.full((n_b, n_iter1), jnp.nan, dtype) if record_trace
               else jnp.zeros((n_b, 0), dtype))
@@ -769,7 +821,7 @@ def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
         ut_n, upt_n, a1_n, l_w_prev_n, gu, b_u, _ = u_phase_grams_multi(
             yt, dt, rtt, alpha[:, :-n_u], alpha[:, -n_u:], ut, upt,
             a1, l_w, l_w_prev, n_iter2, active=active.astype(dtype),
-            tile=tile)
+            weights=wt_b, tile=tile)
         gu = _axis_sum(gu, axis_name)
         b_u = _axis_sum(b_u, axis_name)
 

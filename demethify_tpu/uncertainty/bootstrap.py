@@ -95,7 +95,8 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                  process_count: int = 1,
                  process_index: int = 0,
                  devices=None,
-                 method: str = "auto"):
+                 method: str = "auto",
+                 fused_multi=None):
     """Returns (lower_props, upper_props, lower_u, upper_u); the u bounds
     are None in supervised mode (n_u == 0).
 
@@ -211,9 +212,56 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                                             row_weights=wvec)
         return alpha, u
 
-    replicate_fn = (one_replicate_weighted if method == "weights"
-                    else one_replicate)
-    batched = jax.jit(jax.vmap(replicate_fn))
+    # weights mode on a single TPU device rides the multi-member
+    # megakernel: one (Y, D, R) read per outer iteration serves the
+    # whole replicate chunk (per-member multiplicity weights fold into
+    # the Gram accumulations; trajectory parity with the vmapped
+    # weighted solver is pinned in tests/test_weighted_bootstrap.py)
+    def _fused_multi_ok():
+        if method != "weights" or supervised:
+            return False
+        if fused_multi is not None:       # test override (interpret mode)
+            return bool(fused_multi)
+        if jax.default_backend() != "tpu":
+            return False
+        sharding = getattr(y, "sharding", None)
+        if sharding is not None and len(sharding.device_set) > 1:
+            return False
+        return n_u * n_u <= 3 * y.shape[1]
+
+    if _fused_multi_ok():
+        from demethify_tpu.solvers import fused
+
+        @jax.jit
+        def batched(ks):
+            k_idx, k_init = jax.vmap(jax.random.split, out_axes=1)(ks)
+            idx_b = jax.vmap(lambda k: jax.random.randint(
+                k, (n_sample_rows,), 0, n_sample_rows))(k_idx)
+            w_b = jax.vmap(lambda i: jnp.zeros(
+                (n_cpg,), y.dtype).at[i].add(1.0))(idx_b)
+            if purity is not None:
+                u0_b, a0_b = jax.vmap(
+                    lambda k, w: init_purity(k, init_option, y, d, ref,
+                                             n_u, purity,
+                                             row_weights=w))(k_init, w_b)
+                u_b, alpha_b, _ = fused.purity_solve_fused_multi(
+                    u0_b, a0_b, y, d, ref, purity, n_u,
+                    n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                    tol_relative=tol_relative, row_weights_b=w_b)
+            else:
+                u0_b, a0_b = jax.vmap(
+                    lambda k, w: init_partial(k, init_option, y, d, ref,
+                                              n_u,
+                                              row_weights=w))(k_init, w_b)
+                u_b, alpha_b, _ = fused.partial_ref_solve_fused_multi(
+                    u0_b, a0_b, y, d, ref, n_u,
+                    n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                    tol_relative=tol_relative, row_weights_b=w_b)
+            return alpha_b, u_b
+    else:
+        replicate_fn = (one_replicate_weighted if method == "weights"
+                        else one_replicate)
+        batched = jax.jit(jax.vmap(replicate_fn))
 
     key_sharding = None
     n_dev = 1

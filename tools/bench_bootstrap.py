@@ -7,10 +7,13 @@ sites x 10 samples), the weighted batch one (n_cpg,) vector per
 replicate. This script times B replicates through each layout at a fixed
 iteration budget (tol=0) and prints seconds per replicate.
 
-MEASURED (v5e, B=16, 50x20 iters, 1M sites): weighted-batch DEVICE time
-316 ms total = 0.395 ms/outer-iter/replicate (jax.profiler; the ~60 s
-wall on this dev image is the remote axon tunnel + trace overhead, not
-compute — see tools/profile_solvers.device_ms for honest numbers).
+MEASURED (v5e, B=16, 50x20 iters, 1M sites, jax.profiler): the vmapped
+XLA weighted batch runs 0.395 ms device time per outer-iter per
+replicate; the multi-member MEGAKERNEL route (default on a single TPU
+device — per-member weights folded into its Gram accumulations, one
+shared Y/D read per outer iteration) runs 0.106. The ~60 s wall on this
+dev image is the remote axon tunnel + trace overhead, not compute — see
+tools/profile_solvers.device_ms for honest numbers.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
