@@ -402,25 +402,46 @@ def partial_ref_solve_fused_multi_sharded(u_b, alpha_b, y, d, R_trunc,
                                           tol: float = 1e-2,
                                           record_trace: bool = False,
                                           tile: int = 0,
-                                          tol_relative: bool = False):
+                                          tol_relative: bool = False,
+                                          row_weights_b=None):
     """Multi-chip multi-restart form: y/d/R_trunc globally row-sharded on
     the 'cpg' mesh axis and u_b (B, n_cpg, n_u) sharded on its row axis;
     alpha_b and per-member info replicated. One megakernel pass per outer
-    iteration per device serves ALL restart members."""
+    iteration per device serves ALL restart members. ``row_weights_b``
+    ((B, n_cpg), sharded like u_b's row axis) runs one bootstrap
+    replicate per member on the sharded data (weighted Gram partials
+    psum over the axis)."""
     mesh = y.sharding.mesh
     axis, row, brow, rep, info = _batch_row_specs(mesh)
+    from jax.sharding import PartitionSpec as _P
 
-    def local_fn(u_, a_, y_, d_, r_):
+    wrow = _P(None, axis)
+
+    if row_weights_b is None:
+        def local_fn(u_, a_, y_, d_, r_):
+            return partial_ref_solve_fused_multi(
+                u_, a_, y_, d_, r_, n_u, n_iter1=n_iter1,
+                n_iter2=n_iter2, tol=tol, record_trace=record_trace,
+                tile=tile, tol_relative=tol_relative, axis_name=axis)
+
+        fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                                   in_specs=(brow, rep, row, row, row),
+                                   out_specs=(brow, rep, info),
+                                   check_vma=False))
+        return fn(u_b, alpha_b, y, d, R_trunc)
+
+    def local_fn(u_, a_, y_, d_, r_, w_):
         return partial_ref_solve_fused_multi(
             u_, a_, y_, d_, r_, n_u, n_iter1=n_iter1, n_iter2=n_iter2,
             tol=tol, record_trace=record_trace, tile=tile,
-            tol_relative=tol_relative, axis_name=axis)
+            tol_relative=tol_relative, axis_name=axis,
+            row_weights_b=w_)
 
     fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
-                               in_specs=(brow, rep, row, row, row),
+                               in_specs=(brow, rep, row, row, row, wrow),
                                out_specs=(brow, rep, info),
                                check_vma=False))
-    return fn(u_b, alpha_b, y, d, R_trunc)
+    return fn(u_b, alpha_b, y, d, R_trunc, row_weights_b)
 
 
 def unsupervised_solve_fused_multi_sharded(u_b, alpha_b, y, d, n_u: int,
@@ -454,22 +475,41 @@ def purity_solve_fused_multi_sharded(u_b, alpha_b, y, d, R_trunc, purity,
                                      tol: float = 1e-2,
                                      record_trace: bool = False,
                                      tile: int = 0,
-                                     tol_relative: bool = False):
+                                     tol_relative: bool = False,
+                                     row_weights_b=None):
     """Multi-chip form of purity_solve_fused_multi."""
     mesh = y.sharding.mesh
     axis, row, brow, rep, info = _batch_row_specs(mesh)
 
-    def local_fn(u_, a_, y_, d_, r_, p_):
+    from jax.sharding import PartitionSpec as _P
+
+    if row_weights_b is None:
+        def local_fn(u_, a_, y_, d_, r_, p_):
+            return purity_solve_fused_multi(
+                u_, a_, y_, d_, r_, p_, n_u, n_iter1=n_iter1,
+                n_iter2=n_iter2, tol=tol, record_trace=record_trace,
+                tile=tile, tol_relative=tol_relative, axis_name=axis)
+
+        fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                                   in_specs=(brow, rep, row, row, row,
+                                             rep),
+                                   out_specs=(brow, rep, info),
+                                   check_vma=False))
+        return fn(u_b, alpha_b, y, d, R_trunc, purity)
+
+    def local_fn(u_, a_, y_, d_, r_, p_, w_):
         return purity_solve_fused_multi(
             u_, a_, y_, d_, r_, p_, n_u, n_iter1=n_iter1,
             n_iter2=n_iter2, tol=tol, record_trace=record_trace,
-            tile=tile, tol_relative=tol_relative, axis_name=axis)
+            tile=tile, tol_relative=tol_relative, axis_name=axis,
+            row_weights_b=w_)
 
     fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
-                               in_specs=(brow, rep, row, row, row, rep),
+                               in_specs=(brow, rep, row, row, row, rep,
+                                         _P(None, axis)),
                                out_specs=(brow, rep, info),
                                check_vma=False))
-    return fn(u_b, alpha_b, y, d, R_trunc, purity)
+    return fn(u_b, alpha_b, y, d, R_trunc, purity, row_weights_b)
 
 
 # ---------------------------------------------------------------------------

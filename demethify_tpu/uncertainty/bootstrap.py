@@ -217,43 +217,98 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
     # whole replicate chunk (per-member multiplicity weights fold into
     # the Gram accumulations; trajectory parity with the vmapped
     # weighted solver is pinned in tests/test_weighted_bootstrap.py)
-    def _fused_multi_ok():
+    sharding = getattr(y, "sharding", None)
+    row_sharded = False
+    if sharding is not None and hasattr(sharding, "spec"):
+        from demethify_tpu.parallel.mesh import CPG_AXIS
+
+        spec = sharding.spec
+        row_sharded = (len(sharding.device_set) > 1 and len(spec) >= 1
+                       and spec[0] == CPG_AXIS
+                       and y.shape[0] % sharding.mesh.shape[CPG_AXIS]
+                       == 0)
+
+    def _fused_gate():
         if method != "weights" or supervised:
+            return False
+        if n_u * n_u > 3 * y.shape[1]:
             return False
         if fused_multi is not None:       # test override (interpret mode)
             return bool(fused_multi)
-        if jax.default_backend() != "tpu":
-            return False
-        sharding = getattr(y, "sharding", None)
-        if sharding is not None and len(sharding.device_set) > 1:
-            return False
-        return n_u * n_u <= 3 * y.shape[1]
+        return jax.default_backend() == "tpu"
 
-    if _fused_multi_ok():
+    def _draw_and_init(ks):
+        k_idx, k_init = jax.vmap(jax.random.split, out_axes=1)(ks)
+        idx_b = jax.vmap(lambda k: jax.random.randint(
+            k, (n_sample_rows,), 0, n_sample_rows))(k_idx)
+        w_b = jax.vmap(lambda i: jnp.zeros(
+            (n_cpg,), y.dtype).at[i].add(1.0))(idx_b)
+        if purity is not None:
+            u0_b, a0_b = jax.vmap(
+                lambda k, w: init_purity(k, init_option, y, d, ref,
+                                         n_u, purity,
+                                         row_weights=w))(k_init, w_b)
+        else:
+            u0_b, a0_b = jax.vmap(
+                lambda k, w: init_partial(k, init_option, y, d, ref,
+                                          n_u,
+                                          row_weights=w))(k_init, w_b)
+        return w_b, u0_b, a0_b
+
+    if _fused_gate() and not row_sharded and (
+            sharding is None or len(sharding.device_set) <= 1):
+        # weights mode on one TPU device rides the multi-member
+        # MEGAKERNEL: one (Y, D, R) read per outer iteration serves the
+        # whole replicate chunk (weights fold into the Gram
+        # accumulations; parity pinned in tests/test_weighted_bootstrap)
         from demethify_tpu.solvers import fused
 
         @jax.jit
         def batched(ks):
-            k_idx, k_init = jax.vmap(jax.random.split, out_axes=1)(ks)
-            idx_b = jax.vmap(lambda k: jax.random.randint(
-                k, (n_sample_rows,), 0, n_sample_rows))(k_idx)
-            w_b = jax.vmap(lambda i: jnp.zeros(
-                (n_cpg,), y.dtype).at[i].add(1.0))(idx_b)
+            w_b, u0_b, a0_b = _draw_and_init(ks)
             if purity is not None:
-                u0_b, a0_b = jax.vmap(
-                    lambda k, w: init_purity(k, init_option, y, d, ref,
-                                             n_u, purity,
-                                             row_weights=w))(k_init, w_b)
                 u_b, alpha_b, _ = fused.purity_solve_fused_multi(
                     u0_b, a0_b, y, d, ref, purity, n_u,
                     n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                     tol_relative=tol_relative, row_weights_b=w_b)
             else:
-                u0_b, a0_b = jax.vmap(
-                    lambda k, w: init_partial(k, init_option, y, d, ref,
-                                              n_u,
-                                              row_weights=w))(k_init, w_b)
                 u_b, alpha_b, _ = fused.partial_ref_solve_fused_multi(
+                    u0_b, a0_b, y, d, ref, n_u,
+                    n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                    tol_relative=tol_relative, row_weights_b=w_b)
+            return alpha_b, u_b
+    elif _fused_gate() and row_sharded:
+        # row-sharded data (CLI --shard): the sharded multi-member
+        # megakernel runs every replicate on its CpG row block with
+        # psum'd weighted Gram partials — zero duplication AND sharded
+        # memory footprint
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from demethify_tpu.parallel.mesh import CPG_AXIS
+        from demethify_tpu.solvers import fused
+
+        mesh = sharding.mesh
+        w_sh = NamedSharding(mesh, P(None, CPG_AXIS))
+        u_sh = NamedSharding(mesh, P(None, CPG_AXIS, None))
+        rep_sh = NamedSharding(mesh, P())
+
+        @jax.jit
+        def _prep(ks):
+            w_b, u0_b, a0_b = _draw_and_init(ks)
+            return (jax.lax.with_sharding_constraint(w_b, w_sh),
+                    jax.lax.with_sharding_constraint(u0_b, u_sh),
+                    jax.lax.with_sharding_constraint(a0_b, rep_sh))
+
+        def batched(ks):
+            w_b, u0_b, a0_b = _prep(ks)
+            if purity is not None:
+                u_b, alpha_b, _ = fused.purity_solve_fused_multi_sharded(
+                    u0_b, a0_b, y, d, ref, purity, n_u,
+                    n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
+                    tol_relative=tol_relative, row_weights_b=w_b)
+            else:
+                (u_b, alpha_b,
+                 _) = fused.partial_ref_solve_fused_multi_sharded(
                     u0_b, a0_b, y, d, ref, n_u,
                     n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                     tol_relative=tol_relative, row_weights_b=w_b)

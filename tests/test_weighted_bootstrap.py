@@ -349,3 +349,29 @@ def test_bootstrap_fused_multi_route_purity(small_problem):
     for a, b in zip(plain, fusedr):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-9)
+
+
+def test_bootstrap_fused_multi_sharded_matches_local(small_problem):
+    # row-sharded data + fused multi megakernel route: same CIs as the
+    # local vmapped weighted route (8-device CPU mesh, interpret mode)
+    from demethify_tpu.parallel.mesh import make_mesh, shard_dataset
+
+    p = small_problem
+    y = np.asarray(p["y"])
+    d = np.asarray(p["d"])
+    Rt = np.asarray(p["R_trunc"])
+    n_u = p["n_u"]
+    kw = dict(level=90.0, n_bootstrap=4, n_iter1=6, n_iter2=4,
+              tol=1e-6, key=jax.random.PRNGKey(11), batch_size=4,
+              method="weights")
+    local = bootstrap_ci(jnp.asarray(y), jnp.asarray(d),
+                         jnp.asarray(Rt), n_u, fused_multi=False, **kw)
+    mesh = make_mesh(jax.devices())
+    y_s, d_s, Rt_s = shard_dataset(mesh, y, d, Rt)
+    sharded = bootstrap_ci(y_s, d_s, Rt_s, n_u, n_rows=y.shape[0],
+                           fused_multi=True, **kw)
+    for a, b in zip(local[:2], sharded[:2]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sharded[2])[:y.shape[0]],
+                               np.asarray(local[2]), atol=1e-9)
