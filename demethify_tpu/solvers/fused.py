@@ -525,14 +525,16 @@ def purity_solve_fused_multi_sharded(u_b, alpha_b, y, d, R_trunc, purity,
 # ---------------------------------------------------------------------------
 
 def auto_tile_multi(n_b: int, n_u: int, n_s: int, n_ct: int = 0,
-                    itemsize: int = 4) -> int:
+                    itemsize: int = 4, weighted: bool = False) -> int:
     """Lane-tile budget for the multi-member kernel: member-scaled u IO
-    and per-member C / curvature rows dominate."""
+    and per-member C / curvature rows dominate. ``weighted`` adds the
+    (B, tile) row-weight blocks (weighted bootstrap)."""
     bytes_per_lane = itemsize * (
         2 * (2 * n_s + n_ct + 4 * n_b * n_u)      # IO, double-buffered
         + 2 * n_s                                  # dy / dresid
         + n_b * n_u + n_b * n_u * n_u              # kc / km
-        + n_s * n_u + 4 * n_b * n_u)               # gram du + carries
+        + n_s * n_u + 4 * n_b * n_u                # gram du + carries
+        + (3 * n_b if weighted else 0))            # w blocks + w*u rows
     budget = 10 * 2 ** 20
     tile = (budget // max(bytes_per_lane, 1) // 1024) * 1024
     return int(max(1024, min(MEGA_TILE, tile)))
@@ -573,7 +575,8 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
     n_b = u_b.shape[0]
     if tile == 0:
         tile = auto_tile_multi(n_b, n_u, y.shape[1], R_trunc.shape[1],
-                               itemsize=jnp.dtype(dtype).itemsize)
+                               itemsize=jnp.dtype(dtype).itemsize,
+                               weighted=row_weights_b is not None)
     u_b = u_b.astype(dtype)
     alpha_b = alpha_b.astype(dtype)
     n = y.shape[0]
@@ -799,7 +802,8 @@ def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
     n_b = u_b.shape[0]
     if tile == 0:
         tile = auto_tile_multi(n_b, n_u, y.shape[1], R_trunc.shape[1],
-                               itemsize=jnp.dtype(dtype).itemsize)
+                               itemsize=jnp.dtype(dtype).itemsize,
+                               weighted=row_weights_b is not None)
     u_b = u_b.astype(dtype)
     alpha_b = alpha_b.astype(dtype)
     n = y.shape[0]
