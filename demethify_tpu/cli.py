@@ -346,8 +346,11 @@ def main(argv=None):
             sys.exit(1)
         level, n_boot = args.confidence
         from demethify_tpu.uncertainty.bootstrap import resolve_method
-        ci_method = resolve_method(args.cimethod, args.init,
-                                   int(np.prod(ds.meth_f.shape)))
+        # supervised replicates are init-free WLS solves, so weights
+        # mode is available regardless of --init (mirrors bootstrap_ci)
+        ci_method = resolve_method(
+            args.cimethod, args.init if n_u > 0 else "uniform_",
+            int(np.prod(ds.meth_f.shape)))
         bt_devices = None
         if (args.shard and not args.multihost
                 and ci_method == "weights"):

@@ -177,7 +177,10 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
 
-        if n_u * n_u <= 3 * y.shape[1]:   # multi kernel: gram dataflow
+        if (n_u * n_u <= 3 * y.shape[1]
+                and n_restarts <= fused.max_multi_members(
+                    n_u, y.shape[1], R_trunc.shape[1])):
+            # multi kernel: gram dataflow, member state fits VMEM
             def solve_batch(u0_b, a0_b):
                 return fused.partial_ref_solve_fused_multi(
                     u0_b, a0_b, y, d, R_trunc, n_u,
@@ -191,7 +194,9 @@ def partial_reference_deconv(y, d, R_trunc, n_u: int, *,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
 
-        if n_u * n_u <= 3 * y.shape[1]:
+        if (n_u * n_u <= 3 * y.shape[1]
+                and n_restarts <= fused.max_multi_members(
+                    n_u, y.shape[1], R_trunc.shape[1])):
             def solve_batch(u0_b, a0_b):
                 return fused.partial_ref_solve_fused_multi_sharded(
                     u0_b, a0_b, y, d, R_trunc, n_u,
@@ -244,7 +249,9 @@ def purity_deconv(y, d, R_trunc, n_u: int, purity, *,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
 
-        if n_u * n_u <= 3 * y.shape[1]:
+        if (n_u * n_u <= 3 * y.shape[1]
+                and n_restarts <= fused.max_multi_members(
+                    n_u, y.shape[1], R_trunc.shape[1])):
             def solve_batch(u0_b, a0_b):
                 return fused.purity_solve_fused_multi(
                     u0_b, a0_b, y, d, R_trunc, purity, n_u,
@@ -258,7 +265,9 @@ def purity_deconv(y, d, R_trunc, n_u: int, purity, *,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
 
-        if n_u * n_u <= 3 * y.shape[1]:
+        if (n_u * n_u <= 3 * y.shape[1]
+                and n_restarts <= fused.max_multi_members(
+                    n_u, y.shape[1], R_trunc.shape[1])):
             def solve_batch(u0_b, a0_b):
                 return fused.purity_solve_fused_multi_sharded(
                     u0_b, a0_b, y, d, R_trunc, purity, n_u,
@@ -312,7 +321,9 @@ def unsupervised_deconv(y, d, n_u: int, *,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
 
-        if n_u * n_u <= 3 * y.shape[1]:
+        if (n_u * n_u <= 3 * y.shape[1]
+                and n_restarts <= fused.max_multi_members(
+                    n_u, y.shape[1], 0)):
             def solve_batch(u0_b, a0_b):
                 return fused.unsupervised_solve_fused_multi(
                     u0_b, a0_b, y, d, n_u,
@@ -326,7 +337,9 @@ def unsupervised_deconv(y, d, n_u: int, *,
                 n_iter1=n_iter1, n_iter2=n_iter2, tol=tol,
                 tol_relative=tol_relative, record_trace=record_trace)
 
-        if n_u * n_u <= 3 * y.shape[1]:
+        if (n_u * n_u <= 3 * y.shape[1]
+                and n_restarts <= fused.max_multi_members(
+                    n_u, y.shape[1], 0)):
             def solve_batch(u0_b, a0_b):
                 return fused.unsupervised_solve_fused_multi_sharded(
                     u0_b, a0_b, y, d, n_u,

@@ -23,6 +23,7 @@ FISTA updates and contribute nothing to the Gram sums); outputs are
 sliced back at exit.
 """
 
+import functools
 from functools import partial
 
 import jax
@@ -382,6 +383,27 @@ def purity_solve_fused_sharded(u, alpha, y, d, R_trunc, purity, n_u: int,
     return fn(u, alpha, y, d, R_trunc, purity)
 
 
+def _weighted_multi_invariants(w_b, u_b, alpha_b, y, d, R_trunc, tile,
+                               dtype, axis_name):
+    """Per-member loop invariants for the weighted (row-multiplicity)
+    multi solvers: padded weight blocks, surviving-row max coverage,
+    initial weighted costs, and the w-weighted known-block Grams.
+    Shared by the partial-ref and purity batched solvers."""
+    wt_b, _ = _pad_lanes(w_b, tile)                   # (B, npad)
+    rowmax = jnp.max(d, axis=1)
+    dmax2 = _axis_max(
+        jnp.max(jnp.where(w_b > 0, rowmax[None, :], 0.0), axis=1),
+        axis_name) ** 2                               # (B,)
+    cf0 = _axis_sum(jax.vmap(
+        lambda u0, a0, w: weighted_cost(
+            y, jnp.concatenate([R_trunc.astype(dtype), u0], axis=1),
+            a0, d, row_weights=w))(u_b, alpha_b, w_b), axis_name)
+    G_tt, b_t, ydy = (_axis_sum(t, axis_name) for t in jax.vmap(
+        lambda w: known_block_grams(R_trunc, d, y,
+                                    row_weights=w))(w_b))
+    return wt_b, dmax2, cf0, G_tt, b_t, ydy
+
+
 def _batch_row_specs(mesh):
     """Specs for the sharded multi-restart solvers: (B, n_cpg, n_u)
     factors row-sharded on their middle axis, everything small
@@ -393,6 +415,38 @@ def _batch_row_specs(mesh):
     rep = P()
     info = {"cost": rep, "n_iter": rep, "trace": rep}
     return CPG_AXIS, row, brow, rep, info
+
+
+@functools.lru_cache(maxsize=64)
+def _multi_sharded_fn(mesh, n_u, n_iter1, n_iter2, tol, record_trace,
+                      tile, tol_relative, weighted):
+    """Build (once per config — chunked bootstrap calls reuse it) the
+    jitted shard_map program for the multi-restart megakernel."""
+    axis, row, brow, rep, info = _batch_row_specs(mesh)
+
+    if weighted:
+        def local_fn(u_, a_, y_, d_, r_, w_):
+            return partial_ref_solve_fused_multi(
+                u_, a_, y_, d_, r_, n_u, n_iter1=n_iter1,
+                n_iter2=n_iter2, tol=tol, record_trace=record_trace,
+                tile=tile, tol_relative=tol_relative, axis_name=axis,
+                row_weights_b=w_)
+
+        return jax.jit(jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(brow, rep, row, row, row, P(None, axis)),
+            out_specs=(brow, rep, info), check_vma=False))
+
+    def local_fn(u_, a_, y_, d_, r_):
+        return partial_ref_solve_fused_multi(
+            u_, a_, y_, d_, r_, n_u, n_iter1=n_iter1,
+            n_iter2=n_iter2, tol=tol, record_trace=record_trace,
+            tile=tile, tol_relative=tol_relative, axis_name=axis)
+
+    return jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                                 in_specs=(brow, rep, row, row, row),
+                                 out_specs=(brow, rep, info),
+                                 check_vma=False))
 
 
 def partial_ref_solve_fused_multi_sharded(u_b, alpha_b, y, d, R_trunc,
@@ -410,37 +464,13 @@ def partial_ref_solve_fused_multi_sharded(u_b, alpha_b, y, d, R_trunc,
     iteration per device serves ALL restart members. ``row_weights_b``
     ((B, n_cpg), sharded like u_b's row axis) runs one bootstrap
     replicate per member on the sharded data (weighted Gram partials
-    psum over the axis)."""
-    mesh = y.sharding.mesh
-    axis, row, brow, rep, info = _batch_row_specs(mesh)
-    from jax.sharding import PartitionSpec as _P
-
-    wrow = _P(None, axis)
-
+    psum over the axis). The jitted shard_map program is cached per
+    (mesh, config) so chunked bootstrap calls do not re-trace."""
+    fn = _multi_sharded_fn(y.sharding.mesh, n_u, n_iter1, n_iter2, tol,
+                           record_trace, tile, tol_relative,
+                           row_weights_b is not None)
     if row_weights_b is None:
-        def local_fn(u_, a_, y_, d_, r_):
-            return partial_ref_solve_fused_multi(
-                u_, a_, y_, d_, r_, n_u, n_iter1=n_iter1,
-                n_iter2=n_iter2, tol=tol, record_trace=record_trace,
-                tile=tile, tol_relative=tol_relative, axis_name=axis)
-
-        fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
-                                   in_specs=(brow, rep, row, row, row),
-                                   out_specs=(brow, rep, info),
-                                   check_vma=False))
         return fn(u_b, alpha_b, y, d, R_trunc)
-
-    def local_fn(u_, a_, y_, d_, r_, w_):
-        return partial_ref_solve_fused_multi(
-            u_, a_, y_, d_, r_, n_u, n_iter1=n_iter1, n_iter2=n_iter2,
-            tol=tol, record_trace=record_trace, tile=tile,
-            tol_relative=tol_relative, axis_name=axis,
-            row_weights_b=w_)
-
-    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
-                               in_specs=(brow, rep, row, row, row, wrow),
-                               out_specs=(brow, rep, info),
-                               check_vma=False))
     return fn(u_b, alpha_b, y, d, R_trunc, row_weights_b)
 
 
@@ -477,39 +507,47 @@ def purity_solve_fused_multi_sharded(u_b, alpha_b, y, d, R_trunc, purity,
                                      tile: int = 0,
                                      tol_relative: bool = False,
                                      row_weights_b=None):
-    """Multi-chip form of purity_solve_fused_multi."""
-    mesh = y.sharding.mesh
+    """Multi-chip form of purity_solve_fused_multi (shard_map program
+    cached per mesh/config like partial_ref_solve_fused_multi_sharded).
+    """
+    fn = _purity_multi_sharded_fn(y.sharding.mesh, n_u, n_iter1,
+                                  n_iter2, tol, record_trace, tile,
+                                  tol_relative,
+                                  row_weights_b is not None)
+    if row_weights_b is None:
+        return fn(u_b, alpha_b, y, d, R_trunc, purity)
+    return fn(u_b, alpha_b, y, d, R_trunc, purity, row_weights_b)
+
+
+@functools.lru_cache(maxsize=64)
+def _purity_multi_sharded_fn(mesh, n_u, n_iter1, n_iter2, tol,
+                             record_trace, tile, tol_relative, weighted):
     axis, row, brow, rep, info = _batch_row_specs(mesh)
 
-    from jax.sharding import PartitionSpec as _P
-
-    if row_weights_b is None:
-        def local_fn(u_, a_, y_, d_, r_, p_):
+    if weighted:
+        def local_fn(u_, a_, y_, d_, r_, p_, w_):
             return purity_solve_fused_multi(
                 u_, a_, y_, d_, r_, p_, n_u, n_iter1=n_iter1,
                 n_iter2=n_iter2, tol=tol, record_trace=record_trace,
-                tile=tile, tol_relative=tol_relative, axis_name=axis)
+                tile=tile, tol_relative=tol_relative, axis_name=axis,
+                row_weights_b=w_)
 
-        fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
-                                   in_specs=(brow, rep, row, row, row,
-                                             rep),
-                                   out_specs=(brow, rep, info),
-                                   check_vma=False))
-        return fn(u_b, alpha_b, y, d, R_trunc, purity)
+        return jax.jit(jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(brow, rep, row, row, row, rep, P(None, axis)),
+            out_specs=(brow, rep, info), check_vma=False))
 
-    def local_fn(u_, a_, y_, d_, r_, p_, w_):
+    def local_fn(u_, a_, y_, d_, r_, p_):
         return purity_solve_fused_multi(
             u_, a_, y_, d_, r_, p_, n_u, n_iter1=n_iter1,
             n_iter2=n_iter2, tol=tol, record_trace=record_trace,
-            tile=tile, tol_relative=tol_relative, axis_name=axis,
-            row_weights_b=w_)
+            tile=tile, tol_relative=tol_relative, axis_name=axis)
 
-    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh,
-                               in_specs=(brow, rep, row, row, row, rep,
-                                         _P(None, axis)),
-                               out_specs=(brow, rep, info),
-                               check_vma=False))
-    return fn(u_b, alpha_b, y, d, R_trunc, purity, row_weights_b)
+    return jax.jit(jax.shard_map(local_fn, mesh=mesh,
+                                 in_specs=(brow, rep, row, row, row,
+                                           rep),
+                                 out_specs=(brow, rep, info),
+                                 check_vma=False))
 
 
 # ---------------------------------------------------------------------------
@@ -524,20 +562,55 @@ def purity_solve_fused_multi_sharded(u_b, alpha_b, y, d, R_trunc, purity,
 # executed iterations.
 # ---------------------------------------------------------------------------
 
+def _multi_bytes_per_lane(n_b: int, n_u: int, n_s: int, n_ct: int,
+                          itemsize: int, weighted: bool) -> int:
+    """Per-lane VMEM footprint of the multi-member megakernel: IO blocks,
+    per-member C / curvature rows, FISTA carries, and the Gram-section
+    temporaries. The Gram section differs sharply by dataflow: the
+    n_u == 1 closed form stacks ~4 B-row vectors; the general case
+    materializes du (B*n_s*n_u rows) PLUS its concatenated lhs copy."""
+    common = (2 * (2 * n_s + n_ct + 4 * n_b * n_u)  # IO, double-buffered
+              + 2 * n_s                             # dy / dresid
+              + n_b * n_u + n_b * n_u * n_u         # kc / km
+              + 4 * n_b * n_u)                      # FISTA carries
+    if n_u == 1:
+        gram = 4 * n_b + n_s * n_ct + 2 * n_s + 1   # lhs stack + rhs
+    else:
+        gram = (2 * n_b * n_s * n_u                 # du + lhs copy
+                + 3 * n_b * n_u                     # u_rows/u_w3/lhs tail
+                + n_ct + n_b * n_u + n_s)           # rhs
+    w_rows = (3 * n_b if weighted else 0)           # w blocks + w*u rows
+    return itemsize * (common + gram + w_rows)
+
+
+_MULTI_VMEM_BUDGET = 10 * 2 ** 20
+
+
 def auto_tile_multi(n_b: int, n_u: int, n_s: int, n_ct: int = 0,
                     itemsize: int = 4, weighted: bool = False) -> int:
-    """Lane-tile budget for the multi-member kernel: member-scaled u IO
-    and per-member C / curvature rows dominate. ``weighted`` adds the
-    (B, tile) row-weight blocks (weighted bootstrap)."""
-    bytes_per_lane = itemsize * (
-        2 * (2 * n_s + n_ct + 4 * n_b * n_u)      # IO, double-buffered
-        + 2 * n_s                                  # dy / dresid
-        + n_b * n_u + n_b * n_u * n_u              # kc / km
-        + n_s * n_u + 4 * n_b * n_u                # gram du + carries
-        + (3 * n_b if weighted else 0))            # w blocks + w*u rows
-    budget = 10 * 2 ** 20
-    tile = (budget // max(bytes_per_lane, 1) // 1024) * 1024
+    """Lane-tile budget for the multi-member kernel (see
+    _multi_bytes_per_lane). NOTE the 1024 floor: if the per-lane
+    footprint alone exceeds budget/1024 the launch will overrun VMEM —
+    cap the member count first (max_multi_members)."""
+    bpl = _multi_bytes_per_lane(n_b, n_u, n_s, n_ct, itemsize, weighted)
+    tile = (_MULTI_VMEM_BUDGET // max(bpl, 1) // 1024) * 1024
     return int(max(1024, min(MEGA_TILE, tile)))
+
+
+def max_multi_members(n_u: int, n_s: int, n_ct: int = 0,
+                      itemsize: int = 4, weighted: bool = False) -> int:
+    """Largest member count whose kernel fits the VMEM budget at the
+    minimum (1024) lane tile — callers batching replicates/restarts
+    through the multi megakernel chunk to this."""
+    limit = _MULTI_VMEM_BUDGET // 1024
+    n_b = 1
+    while (n_b < 4096 and _multi_bytes_per_lane(
+            2 * n_b, n_u, n_s, n_ct, itemsize, weighted) <= limit):
+        n_b *= 2
+    while _multi_bytes_per_lane(n_b + 1, n_u, n_s, n_ct, itemsize,
+                                weighted) <= limit and n_b < 4096:
+        n_b += 1
+    return n_b
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
@@ -599,23 +672,13 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
                           for t in known_block_grams(R_trunc, d, y))
     else:
         w_b = row_weights_b.astype(dtype)
-        wt_b, _ = _pad_lanes(w_b, tile)               # (B, npad)
-        rowmax = jnp.max(d, axis=1)
-        dmax2 = _axis_max(
-            jnp.max(jnp.where(w_b > 0, rowmax[None, :], 0.0), axis=1),
-            axis_name) ** 2                           # (B,)
+        wt_b, dmax2, cf0, G_tt, b_t, ydy = _weighted_multi_invariants(
+            w_b, u_b, alpha_b, y, d, R_trunc, tile, dtype, axis_name)
         rt_sq = _axis_sum(
             w_b @ jnp.sum((R_trunc * R_trunc).astype(dtype), axis=1),
             axis_name)                                # (B,)
         usq0 = _axis_sum(jnp.einsum("bi,biu->b", w_b, u_b * u_b),
                          axis_name)
-        cf0 = _axis_sum(jax.vmap(
-            lambda u0, a0, w: weighted_cost(
-                y, jnp.concatenate([R_trunc.astype(dtype), u0], axis=1),
-                a0, d, row_weights=w))(u_b, alpha_b, w_b), axis_name)
-        G_tt, b_t, ydy = (_axis_sum(t, axis_name) for t in jax.vmap(
-            lambda w: known_block_grams(R_trunc, d, y,
-                                        row_weights=w))(w_b))
     l_w0 = jnp.sum(alpha_b[:, -n_u:] ** 2, axis=(1, 2)) * dmax2
     l_h0 = (rt_sq + usq0) * dmax2
     tol_b = tol * cf0 if tol_relative else jnp.full_like(cf0, tol)
@@ -824,18 +887,8 @@ def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
                           for t in known_block_grams(R_trunc, d, y))
     else:
         w_b = row_weights_b.astype(dtype)
-        wt_b, _ = _pad_lanes(w_b, tile)
-        rowmax = jnp.max(d, axis=1)
-        dmax2 = _axis_max(
-            jnp.max(jnp.where(w_b > 0, rowmax[None, :], 0.0), axis=1),
-            axis_name) ** 2                           # (B,)
-        cf0 = _axis_sum(jax.vmap(
-            lambda u0, a0, w: weighted_cost(
-                y, jnp.concatenate([R_trunc.astype(dtype), u0], axis=1),
-                a0, d, row_weights=w))(u_b, alpha_b, w_b), axis_name)
-        G_tt, b_t, ydy = (_axis_sum(t, axis_name) for t in jax.vmap(
-            lambda w: known_block_grams(R_trunc, d, y,
-                                        row_weights=w))(w_b))
+        wt_b, dmax2, cf0, G_tt, b_t, ydy = _weighted_multi_invariants(
+            w_b, u_b, alpha_b, y, d, R_trunc, tile, dtype, axis_name)
     l_w0 = jnp.sum(alpha_b[:, -n_u:] ** 2, axis=(1, 2)) * dmax2
     tol_b = tol * cf0 if tol_relative else jnp.full_like(cf0, tol)
 

@@ -146,9 +146,13 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
     supervised = n_u == 0
 
     if method == "auto":
-        method = resolve_method(method, init_option,
-                                n_cpg * y.shape[1])
-    elif method == "weights" and init_option not in _WEIGHTABLE_INITS:
+        # supervised replicates are init-free WLS solves, so weights
+        # mode is always available there
+        method = resolve_method(
+            method, init_option if not supervised else "uniform_",
+            n_cpg * y.shape[1])
+    elif (method == "weights" and not supervised
+            and init_option not in _WEIGHTABLE_INITS):
         raise ValueError(
             f"method='weights' has no weighted form for init "
             f"{init_option!r} (SVD/ICA need the materialized resampled "
@@ -212,11 +216,6 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                                             row_weights=wvec)
         return alpha, u
 
-    # weights mode on a single TPU device rides the multi-member
-    # megakernel: one (Y, D, R) read per outer iteration serves the
-    # whole replicate chunk (per-member multiplicity weights fold into
-    # the Gram accumulations; trajectory parity with the vmapped
-    # weighted solver is pinned in tests/test_weighted_bootstrap.py)
     sharding = getattr(y, "sharding", None)
     row_sharded = False
     if sharding is not None and hasattr(sharding, "spec"):
@@ -263,6 +262,11 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
         # accumulations; parity pinned in tests/test_weighted_bootstrap)
         from demethify_tpu.solvers import fused
 
+        # the kernel holds every member's tile state in VMEM — cap the
+        # chunk so the launch fits even at the minimum lane tile
+        batch_size = min(batch_size, fused.max_multi_members(
+            n_u, y.shape[1], ref.shape[1], weighted=True))
+
         @jax.jit
         def batched(ks):
             w_b, u0_b, a0_b = _draw_and_init(ks)
@@ -287,6 +291,8 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
         from demethify_tpu.parallel.mesh import CPG_AXIS
         from demethify_tpu.solvers import fused
 
+        batch_size = min(batch_size, fused.max_multi_members(
+            n_u, y.shape[1], ref.shape[1], weighted=True))
         mesh = sharding.mesh
         w_sh = NamedSharding(mesh, P(None, CPG_AXIS))
         u_sh = NamedSharding(mesh, P(None, CPG_AXIS, None))

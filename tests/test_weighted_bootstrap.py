@@ -375,3 +375,16 @@ def test_bootstrap_fused_multi_sharded_matches_local(small_problem):
                                    atol=1e-9)
     np.testing.assert_allclose(np.asarray(sharded[2])[:y.shape[0]],
                                np.asarray(local[2]), atol=1e-9)
+
+
+def test_supervised_weights_allows_any_init(small_problem):
+    # supervised replicates never use the init, so weights mode must not
+    # reject SVD/ICA there (the validation is init-gated only for the
+    # iterative modes)
+    p = small_problem
+    lo, hi, _, _ = bootstrap_ci(p["y"], p["d"], p["R_trunc"], 0,
+                                level=90.0, n_bootstrap=4,
+                                init_option="SVD", method="weights",
+                                key=jax.random.PRNGKey(12),
+                                batch_size=4)
+    assert np.all(np.isfinite(lo)) and np.all(np.isfinite(hi))
