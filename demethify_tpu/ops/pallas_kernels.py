@@ -722,11 +722,24 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
         usq_part = jnp.sum(u_rows_w * u_rows, axis=1,
                            keepdims=True).reshape(n_b, n_u)
         usq_part = jnp.sum(usq_part, axis=1, keepdims=True)  # (B, 1)
-        cross = prod[:n_du, n_ct_loc:n_ct_loc + n_b * n_u].reshape(
-            n_b, n_s * n_u, n_b, n_u)
-        eye = jnp.eye(n_b, dtype=acc)
-        gu_self = jnp.sum(cross * eye[:, None, :, None],
-                          axis=2).reshape(n_b, n_s, n_u, n_u)
+        # member-diagonal extraction of the (n_du, B*n_u) cross block.
+        # NOTE no lane-splitting reshape here: Mosaic cannot lower a
+        # reshape that splits the LANE axis (B*n_u -> (B, n_u)), so the
+        # off-member columns are masked with 2D iotas and collapsed to
+        # n_u columns by one tiny matmul instead.
+        cross_cols = prod[:n_du, n_ct_loc:n_ct_loc + n_b * n_u]
+        row_member = jax.lax.broadcasted_iota(
+            jnp.int32, (n_du, n_b * n_u), 0) // (n_s * n_u)
+        col_member = jax.lax.broadcasted_iota(
+            jnp.int32, (n_du, n_b * n_u), 1) // n_u
+        masked = jnp.where(row_member == col_member, cross_cols, 0.0)
+        collapse = (jax.lax.broadcasted_iota(
+            jnp.int32, (n_b * n_u, n_u), 0) % n_u
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (n_b * n_u, n_u), 1)).astype(acc)
+        gu_self = jax.lax.dot_general(
+            masked, collapse, (((1,), (0,)), ((), ())),
+            preferred_element_type=acc).reshape(n_b, n_s, n_u, n_u)
         if rtt is not None:
             gu_known = prod[:n_du, :n_ct_loc].reshape(n_b, n_s, n_u,
                                                       n_ct_loc)

@@ -392,3 +392,36 @@ class TestFusedMultiRestart:
             n_iter1=10, n_iter2=4, tol=1e-9, seed=2)
         assert np.isfinite(res.cost)
         assert res.u.shape == (p["y"].shape[0], p["n_u"])
+
+
+class TestMultiVmemBudget:
+    def test_member_cap_respects_budget(self):
+        from demethify_tpu.solvers.fused import (
+            _MULTI_VMEM_BUDGET,
+            _multi_bytes_per_lane,
+            max_multi_members,
+        )
+
+        for n_u, n_s, n_ct, weighted in [(1, 10, 5, True), (2, 10, 5, False),
+                                         (3, 6, 4, True), (5, 10, 5, False)]:
+            cap = max_multi_members(n_u, n_s, n_ct, weighted=weighted)
+            assert cap >= 1
+            limit = _MULTI_VMEM_BUDGET // 1024
+            assert _multi_bytes_per_lane(cap, n_u, n_s, n_ct, 4,
+                                         weighted) <= limit
+            if cap < 4096:
+                assert _multi_bytes_per_lane(cap + 1, n_u, n_s, n_ct, 4,
+                                             weighted) > limit
+
+    def test_auto_tile_multi_within_budget(self):
+        from demethify_tpu.solvers.fused import (
+            _MULTI_VMEM_BUDGET,
+            _multi_bytes_per_lane,
+            auto_tile_multi,
+        )
+
+        for n_b, n_u in [(16, 1), (16, 2), (30, 2), (8, 5)]:
+            tile = auto_tile_multi(n_b, n_u, 10, 5, weighted=True)
+            if tile > 1024:   # above the floor the tile must fit
+                assert (_multi_bytes_per_lane(n_b, n_u, 10, 5, 4, True)
+                        * tile <= _MULTI_VMEM_BUDGET)
