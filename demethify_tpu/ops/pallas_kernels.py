@@ -696,8 +696,11 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
         # has no layout cast for lane->sublane splitting reshapes like
         # (B, n_s) -> (B, n_s, 1, 1); the host wrapper reshapes instead.
         # gu flat layout: [known (n_s*n_ct) | self (n_s)] per member.
-        gu_part = jnp.concatenate(
-            [prod[:n_b, :o], prod[n_b:, o + n_s:o + 2 * n_s]], axis=1)
+        # (no zero-width concat operand when n_ct == 0 — Mosaic rejects
+        # zero-size types)
+        self_blk = prod[n_b:, o + n_s:o + 2 * n_s]
+        gu_part = (self_blk if o == 0 else
+                   jnp.concatenate([prod[:n_b, :o], self_blk], axis=1))
         bu_part = prod[:n_b, o:o + n_s]                      # (B, n_s)
         usq_part = prod[n_b:, o + 2 * n_s:o + 2 * n_s + 1]   # (B, 1)
     else:

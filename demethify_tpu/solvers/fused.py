@@ -383,6 +383,19 @@ def purity_solve_fused_sharded(u, alpha, y, d, R_trunc, purity, n_u: int,
     return fn(u, alpha, y, d, R_trunc, purity)
 
 
+# Mosaic compiles the n_u == 1 closed-form gram path only when the
+# member axis fills the 8-wide sublane dimension (B < 8 fails to lower
+# on hardware; interpret mode cannot catch it). Batches are padded to
+# MIN_MULTI_MEMBERS by repeating member 0 (identical trajectory, no
+# numerics risk) and the outputs sliced back.
+MIN_MULTI_MEMBERS = 8
+
+
+def _pad_members(x_b, n_pad):
+    return jnp.concatenate(
+        [x_b, jnp.repeat(x_b[:1], n_pad, axis=0)], axis=0)
+
+
 def _weighted_multi_invariants(w_b, u_b, alpha_b, y, d, R_trunc, tile,
                                dtype, axis_name):
     """Per-member loop invariants for the weighted (row-multiplicity)
@@ -645,6 +658,13 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
     from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
 
     dtype = accum_dtype(y)
+    n_b_out = u_b.shape[0]
+    if n_b_out < MIN_MULTI_MEMBERS:
+        pad = MIN_MULTI_MEMBERS - n_b_out
+        u_b = _pad_members(u_b, pad)
+        alpha_b = _pad_members(alpha_b, pad)
+        if row_weights_b is not None:
+            row_weights_b = _pad_members(row_weights_b, pad)
     n_b = u_b.shape[0]
     if tile == 0:
         tile = auto_tile_multi(n_b, n_u, y.shape[1], R_trunc.shape[1],
@@ -743,8 +763,9 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
             trace0)
     out = jax.lax.while_loop(cond, body, init)
     ut, _, alpha, _, _, _, _, _, _, cf, _, _, n_it, trace = out
-    return (jnp.swapaxes(ut[:, :, :n], 1, 2), alpha,
-            {"cost": cf, "n_iter": n_it, "trace": trace})
+    B = n_b_out
+    return (jnp.swapaxes(ut[:B, :, :n], 1, 2), alpha[:B],
+            {"cost": cf[:B], "n_iter": n_it[:B], "trace": trace[:B]})
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
@@ -763,6 +784,11 @@ def unsupervised_solve_fused_multi(u_b, alpha_b, y, d, n_u: int,
     from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
 
     dtype = accum_dtype(y)
+    n_b_out = u_b.shape[0]
+    if n_b_out < MIN_MULTI_MEMBERS:
+        pad = MIN_MULTI_MEMBERS - n_b_out
+        u_b = _pad_members(u_b, pad)
+        alpha_b = _pad_members(alpha_b, pad)
     n_b = u_b.shape[0]
     if tile == 0:
         tile = auto_tile_multi(n_b, n_u, y.shape[1],
@@ -839,8 +865,9 @@ def unsupervised_solve_fused_multi(u_b, alpha_b, y, d, n_u: int,
             trace0)
     out = jax.lax.while_loop(cond, body, init)
     ut, _, alpha, _, _, _, _, _, _, cf, _, _, n_it, trace = out
-    return (jnp.swapaxes(ut[:, :, :n], 1, 2), alpha,
-            {"cost": cf, "n_iter": n_it, "trace": trace})
+    B = n_b_out
+    return (jnp.swapaxes(ut[:B, :, :n], 1, 2), alpha[:B],
+            {"cost": cf[:B], "n_iter": n_it[:B], "trace": trace[:B]})
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
@@ -862,6 +889,13 @@ def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
     from demethify_tpu.ops.pallas_kernels import u_phase_grams_multi
 
     dtype = accum_dtype(y)
+    n_b_out = u_b.shape[0]
+    if n_b_out < MIN_MULTI_MEMBERS:
+        pad = MIN_MULTI_MEMBERS - n_b_out
+        u_b = _pad_members(u_b, pad)
+        alpha_b = _pad_members(alpha_b, pad)
+        if row_weights_b is not None:
+            row_weights_b = _pad_members(row_weights_b, pad)
     n_b = u_b.shape[0]
     if tile == 0:
         tile = auto_tile_multi(n_b, n_u, y.shape[1], R_trunc.shape[1],
@@ -940,5 +974,6 @@ def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
             trace0)
     out = jax.lax.while_loop(cond, body, init)
     ut, _, alpha, _, _, _, cf, _, _, n_it, trace = out
-    return (jnp.swapaxes(ut[:, :, :n], 1, 2), alpha,
-            {"cost": cf, "n_iter": n_it, "trace": trace})
+    B = n_b_out
+    return (jnp.swapaxes(ut[:B, :, :n], 1, 2), alpha[:B],
+            {"cost": cf[:B], "n_iter": n_it[:B], "trace": trace[:B]})

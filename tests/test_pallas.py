@@ -425,3 +425,26 @@ class TestMultiVmemBudget:
             if tile > 1024:   # above the floor the tile must fit
                 assert (_multi_bytes_per_lane(n_b, n_u, 10, 5, 4, True)
                         * tile <= _MULTI_VMEM_BUDGET)
+
+
+def test_unsupervised_multi_nu1_matches_vmapped(small_problem):
+    # n_u = 1 closed-form gram path with rtt=None (zero known columns):
+    # exercises the o == 0 flat-output branch
+    from demethify_tpu.solvers.fused import unsupervised_solve_fused_multi
+    from demethify_tpu.solvers.unsupervised import unsupervised_solve
+
+    p = small_problem
+    y, d = jnp.asarray(p["y"]), jnp.asarray(p["d"])
+    rng = np.random.default_rng(8)
+    n_cpg, n_s = p["y"].shape
+    u0_b = jnp.asarray(rng.uniform(size=(4, n_cpg, 1)))
+    a0_b = jnp.asarray(np.stack([
+        rng.dirichlet(np.ones(1), size=n_s).T for _ in range(4)]))
+    want = jax.vmap(lambda u0, a0: unsupervised_solve(
+        u0, a0, y, d, 1, n_iter1=8, n_iter2=5, tol=1e-9))(u0_b, a0_b)
+    got = unsupervised_solve_fused_multi(
+        u0_b, a0_b, y, d, 1, n_iter1=8, n_iter2=5, tol=1e-9)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got[2]["cost"]),
+                               np.asarray(want[2]["cost"]), rtol=1e-9)
