@@ -340,9 +340,9 @@ def main(argv=None):
     # ------------------------------------------------------------------
     ci_props_df = None
     if args.confidence:
-        if ref_mat is None:
-            sys.stderr.write("Error: --confidence requires --ref (the "
-                             "bootstrap resamples the reference rows).\n")
+        if ref_mat is None and n_u == 0:
+            sys.stderr.write("Error: --confidence without --ref needs "
+                             "--nbunknown (unsupervised bootstrap).\n")
             sys.exit(1)
         level, n_boot = args.confidence
         from demethify_tpu.uncertainty.bootstrap import resolve_method
@@ -353,7 +353,7 @@ def main(argv=None):
             int(np.prod(ds.meth_f.shape)))
         bt_devices = None
         if (args.shard and not args.multihost
-                and ci_method == "weights"):
+                and ci_method == "weights" and ref_mat is not None):
             # the weighted (row-multiplicity) layout has no per-replicate
             # row gather, so it runs directly on the row-sharded arrays:
             # per-chip memory stays 1/n_devices of the data and the Gram
@@ -369,8 +369,8 @@ def main(argv=None):
                                dtype=dev_dtype)
             d_bt = jnp.asarray(ds.counts.astype(np_dtype),
                                dtype=dev_dtype)
-            ref_bt = jnp.asarray(ds.ref.astype(np_dtype),
-                                 dtype=dev_dtype)
+            ref_bt = None if ds.ref is None else jnp.asarray(
+                ds.ref.astype(np_dtype), dtype=dev_dtype)
             if args.shard and not args.multihost:
                 bt_devices = jax.devices()
         else:
@@ -382,7 +382,8 @@ def main(argv=None):
             purity=purity, key=jax.random.fold_in(key, 987654321),
             n_rows=n_cpg_orig, tol_relative=args.reltol,
             process_count=n_procs, process_index=proc_id,
-            devices=bt_devices, method=ci_method)
+            devices=bt_devices, method=ci_method,
+            progress=sys.stdout.isatty() and proc_id == 0)
         unknown_header = [f"unknown_cell_{i+1}" for i in range(n_u)]
         if proc_id == 0:
             ci_props_df = write_ci_proportions(
@@ -445,7 +446,8 @@ def main(argv=None):
             iter1=args.iterations[0], iter2=args.iterations[1],
             tol=termination, tol_relative=args.reltol,
             n_restarts=nb_r, n_u_max=args.icmax[0],
-            process_count=n_procs, process_index=proc_id)
+            process_count=n_procs, process_index=proc_id,
+            progress=sys.stdout.isatty() and proc_id == 0)
         unknown_header = [f"unknown_cell_{i+1}" for i in range(ic_n_u)]
         header += unknown_header
         _write_profile(u_best, unknown_header)

@@ -36,7 +36,7 @@ def accum_dtype(x):
     return x.dtype
 
 
-def sample_grams(R, d, y):
+def sample_grams(R, d, y, row_weights=None):
     """Per-sample Gram system for the alpha subproblem.
 
     Returns (G, b, ydy):
@@ -44,11 +44,25 @@ def sample_grams(R, d, y):
       b: (p, n_s)    = R' (d_s * y_s)
       ydy: (n_s,)    = sum_i d_is y_is^2
     One pass over (Y, D, R); all outputs are tiny and replicated.
+
+    ``row_weights`` ((n_cpg,), the bootstrap's row-multiplicity form)
+    joins the contractions as an extra einsum operand (fused, never
+    materialized — see known_block_grams).
     """
     acc = accum_dtype(y)
-    G = jnp.einsum("ip,is,iq->spq", R, d, R, preferred_element_type=acc)
-    b = jnp.einsum("ip,is->ps", R, d * y, preferred_element_type=acc)
-    ydy = jnp.sum((d * y * y).astype(acc), axis=0)
+    if row_weights is None:
+        G = jnp.einsum("ip,is,iq->spq", R, d, R,
+                       preferred_element_type=acc)
+        b = jnp.einsum("ip,is->ps", R, d * y, preferred_element_type=acc)
+        ydy = jnp.sum((d * y * y).astype(acc), axis=0)
+        return G, b, ydy
+    w = row_weights
+    G = jnp.einsum("i,ip,is,iq->spq", w, R, d, R,
+                   preferred_element_type=acc)
+    b = jnp.einsum("i,ip,is->ps", w, R, d * y,
+                   preferred_element_type=acc)
+    ydy = jnp.einsum("i,is->s", w, (d * y * y).astype(acc),
+                     preferred_element_type=acc)
     return G, b, ydy
 
 

@@ -264,7 +264,8 @@ def batched_ccc_sweep(y, d, ref, *, n_u_max: int, n_restarts: int, key,
 
 def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
                       iter1: int, iter2: int, tol: float,
-                      fraction: float = 0.3, tol_relative: bool = False):
+                      fraction: float = 0.3, tol_relative: bool = False,
+                      progress: bool = False):
     """Bi-cross-validation sweep with ONE compilation: the vmapped masked
     solver is jitted once over all ranks, and the host loops folds (the
     reference redraws the same fold masks for every rank, `ic.py:59`, so
@@ -312,7 +313,12 @@ def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
     total_press = np.zeros(n_u_max)
     best_per_rank = [None] * n_u_max
 
-    for fold in range(n_folds):
+    fold_iter = range(n_folds)
+    if progress:
+        import tqdm
+
+        fold_iter = tqdm.tqdm(fold_iter, desc="BCV folds", unit="fold")
+    for fold in fold_iter:
         kf = jax.random.fold_in(k_folds, fold)
         train_mask = jax.random.uniform(kf, y.shape) < fraction
         test_mask = ~train_mask

@@ -177,7 +177,8 @@ def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
         return bs.batched_bcv_sweep(y, d, ref, n_u_max=n_u_max,
                                     n_folds=n_restarts, key=key,
                                     iter1=iter1, iter2=iter2, tol=tol,
-                                    tol_relative=tol_relative)
+                                    tol_relative=tol_relative,
+                                    progress=progress)
 
     if ic == "minka":
         # pass the (possibly sharded) arrays through: minka keeps the

@@ -58,15 +58,36 @@ def unsupervised_solve(u, alpha, y, d, n_u: int,
                        tol: float = 1e-2, use_gram_u: bool = True,
                        record_trace: bool = False,
                        tol_relative: bool = False,
-                       row_mask=None):
-    """u: (n_cpg, n_u), alpha: (n_u, n_s). Returns (u, alpha, info)."""
+                       row_mask=None, row_weights=None):
+    """u: (n_cpg, n_u), alpha: (n_u, n_s). Returns (u, alpha, info).
+
+    ``row_weights`` ((n_cpg,) nonneg, optional) solves the
+    ROW-MULTIPLICITY problem (the bootstrap's with-replacement resample
+    without gathered copies — same contract as
+    `partial_ref_solve(row_weights=)`): the row-separable U update is
+    untouched (duplicated rows share one trajectory; the lagged gradient
+    C - M u is per-row), while the cross-row reductions — alpha Grams,
+    cost, the Lipschitz norms and max(D) — take the multiplicity weights.
+    """
     dtype = accum_dtype(y)
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
-    dmax2 = jnp.max(d).astype(dtype) ** 2
+    if row_weights is None:
+        dmax2 = jnp.max(d).astype(dtype) ** 2
+
+        def u_sq(u):
+            return jnp.sum(u * u)
+    else:
+        w = row_weights.astype(dtype)[:, None]
+        rowmax = jnp.max(d, axis=1)
+        dmax2 = jnp.max(jnp.where(row_weights > 0, rowmax,
+                                  0.0)).astype(dtype) ** 2
+
+        def u_sq(u):
+            return jnp.sum(w * u * u)
     l_w0 = jnp.sum(alpha * alpha) * dmax2  # alpha[-n_u:] == whole alpha here
-    l_h0 = jnp.sum(u * u) * dmax2
-    cf0 = weighted_cost(y, u, alpha, d)
+    l_h0 = u_sq(u) * dmax2
+    cf0 = weighted_cost(y, u, alpha, d, row_weights=row_weights)
     tol = tol * cf0 if tol_relative else tol
 
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
@@ -89,8 +110,8 @@ def unsupervised_solve(u, alpha, y, d, n_u: int,
             u, u_prev, a1, l_w_prev = _fista_u_lagged_direct(
                 u, u_prev, a1, l_w_prev, l_w, y, d, alpha, n_iter2)
 
-        G, b, ydy = sample_grams(u, d, y)
-        l_h = jnp.sum(u * u) * dmax2
+        G, b, ydy = sample_grams(u, d, y, row_weights=row_weights)
+        l_h = u_sq(u) * dmax2
 
         alpha, alpha_prev, a2, l_h_prev = fista.fista_alpha_gram(
             alpha, alpha_prev, a2, l_h_prev, l_h, G, b, n_iter2,

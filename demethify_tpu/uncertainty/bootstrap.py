@@ -36,6 +36,13 @@ bootstrap scales by p/100 while the main path uses 1 - p/100
 (`bootstrap.py:18` vs `demethify.py:77`) — i.e. it bootstraps a different
 model than the point estimate. Here the bootstrap uses the SAME flipped
 purity as the main path.
+
+Fixed reference crash (documented divergence): `--confidence` without
+`--ref` raises AttributeError in the reference (`bootstrap.py:63`,
+`ref.shape` with ref=None) — unsupervised bootstrap CIs are unusable as
+shipped. Here ``ref=None`` resamples (Y, D) rows and re-solves the
+unsupervised NMF per replicate, in both resample and weights
+(row-multiplicity, via `unsupervised_solve(row_weights=)`) layouts.
 """
 
 from typing import Tuple
@@ -96,9 +103,16 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                  process_index: int = 0,
                  devices=None,
                  method: str = "auto",
-                 fused_multi=None):
+                 fused_multi=None,
+                 progress: bool = False):
     """Returns (lower_props, upper_props, lower_u, upper_u); the u bounds
     are None in supervised mode (n_u == 0).
+
+    ``ref=None`` runs the UNSUPERVISED bootstrap (the reference crashes
+    here — see module docstring): replicates resample (Y, D) rows and
+    re-solve the unsupervised NMF; proportions CIs are over the (n_u,
+    n_s) alpha. ``progress`` shows a tqdm bar over replicates (chunk
+    granularity), like the reference's `bootstrap.py:26`.
 
     ``method``: "resample" gathers replicate copies (the reference's
     data layout; u CIs per resampled row position), "weights" solves the
@@ -127,16 +141,25 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
     an all-to-all instead). Results are identical to the single-device
     batch for any device count."""
     from demethify_tpu.ops.nnls import wls_intercept_batch
-    from demethify_tpu.solvers.init import init_partial, init_purity
+    from demethify_tpu.solvers.init import (
+        init_partial,
+        init_purity,
+        init_unsupervised,
+    )
     from demethify_tpu.solvers.partial_ref import partial_ref_solve
     from demethify_tpu.solvers.purity import purity_solve
+    from demethify_tpu.solvers.unsupervised import unsupervised_solve
 
     if key is None:
         key = jax.random.PRNGKey(seed)
 
     y = jnp.asarray(y)
     d = jnp.asarray(d)
-    ref = jnp.asarray(ref)
+    unsupervised = ref is None
+    if unsupervised and n_u == 0:
+        raise ValueError("bootstrap_ci needs ref profiles (supervised) "
+                         "or n_u > 0 (unsupervised)")
+    ref = None if unsupervised else jnp.asarray(ref)
     if purity is not None:
         purity = jnp.asarray(purity, y.dtype)
     n_cpg = y.shape[0]
@@ -160,8 +183,9 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
     if method not in ("resample", "weights"):
         raise ValueError(f"unknown bootstrap method {method!r}")
     if batch_size is None:
-        batch_size = _auto_batch_size(n_cpg, y.shape[1], ref.shape[1],
-                                      n_u, method)
+        batch_size = _auto_batch_size(
+            n_cpg, y.shape[1], 0 if unsupervised else ref.shape[1],
+            n_u, method)
 
     def one_replicate(k):
         k_idx, k_init = jax.random.split(k)
@@ -170,6 +194,13 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                                  n_sample_rows)
         yb = y[idx]
         db = d[idx]
+        if unsupervised:
+            u0, a0 = init_unsupervised(k_init, init_option, yb, db, n_u)
+            u, alpha, _ = unsupervised_solve(u0, a0, yb, db, n_u,
+                                             n_iter1=n_iter1,
+                                             n_iter2=n_iter2, tol=tol,
+                                             tol_relative=tol_relative)
+            return alpha, u
         refb = ref[idx]
         if supervised:
             props = wls_intercept_batch(db * yb, db, refb)
@@ -195,6 +226,17 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
         idx = jax.random.randint(k_idx, (n_sample_rows,), 0,
                                  n_sample_rows)
         wvec = jnp.zeros((n_cpg,), y.dtype).at[idx].add(1.0)
+        if unsupervised:
+            # uniform_/beta/uniform unsupervised draws are
+            # data-independent (SVD/ICA were rejected above), so the
+            # init needs no weighted form
+            u0, a0 = init_unsupervised(k_init, init_option, y, d, n_u)
+            u, alpha, _ = unsupervised_solve(u0, a0, y, d, n_u,
+                                             n_iter1=n_iter1,
+                                             n_iter2=n_iter2, tol=tol,
+                                             tol_relative=tol_relative,
+                                             row_weights=wvec)
+            return alpha, u
         if supervised:
             props = wls_intercept_batch(d * y, wvec[:, None] * d, ref)
             return props, jnp.zeros((n_cpg, 0), y.dtype)
@@ -228,7 +270,9 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
                        == 0)
 
     def _fused_gate():
-        if method != "weights" or supervised:
+        # unsupervised replicates keep the XLA vmap path for now (the
+        # fused multi draw+init below is partial-ref/purity only)
+        if method != "weights" or supervised or unsupervised:
             return False
         if n_u * n_u > 3 * y.shape[1]:
             return False
@@ -335,7 +379,8 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
         data_sharding = NamedSharding(mesh, P())
         y = jax.device_put(y, data_sharding)
         d = jax.device_put(d, data_sharding)
-        ref = jax.device_put(ref, data_sharding)
+        if ref is not None:
+            ref = jax.device_put(ref, data_sharding)
         if purity is not None:
             purity = jax.device_put(purity, data_sharding)
 
@@ -346,6 +391,12 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
     per_proc = -(-n_bootstrap // process_count)
     start = process_index * per_proc
 
+    pbar = None
+    if progress:
+        import tqdm
+
+        pbar = tqdm.tqdm(total=per_proc, desc="bootstrap replicates",
+                         unit="rep")
     props_chunks = []
     u_chunks = []
     done = 0
@@ -362,6 +413,10 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
         props_chunks.append(np.asarray(props_b)[:nb])
         u_chunks.append(np.asarray(u_b)[:nb])
         done += nb
+        if pbar is not None:
+            pbar.update(nb)
+    if pbar is not None:
+        pbar.close()
 
     props_all = np.concatenate(props_chunks, axis=0)   # (B_local, p, n_s)
     u_all = np.concatenate(u_chunks, axis=0)       # (B_local, n_cpg, n_u)

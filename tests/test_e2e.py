@@ -124,6 +124,22 @@ class TestBootstrapCI:
             tmp_path / "confidence_interval_methylation_estimate.csv")
         assert ci_prof.shape == (350, 1)
 
+    def test_ci_unsupervised(self, tmp_path):
+        # the reference crashes on --confidence without --ref
+        # (bootstrap.py:63, ref.shape with ref=None); fixed here
+        _run(tmp_path, "--nbunknown", "2",
+             "--confidence", "90", "6", "--iterations", "100", "8")
+        ci = pd.read_csv(
+            tmp_path / "confidence_interval_celltypes_proportions.csv",
+            index_col=0)
+        assert ci.shape == (2, 10)
+        assert list(ci.index) == ["unknown_cell_1", "unknown_cell_2"]
+        lo, hi = eval(ci.iloc[0, 0])
+        assert 0 <= lo <= hi <= 1
+        ci_prof = pd.read_csv(
+            tmp_path / "confidence_interval_methylation_estimate.csv")
+        assert ci_prof.shape == (350, 2)
+
 
 class TestModelSelection:
     def test_aic_sweep(self, tmp_path):

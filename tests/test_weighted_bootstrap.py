@@ -388,3 +388,66 @@ def test_supervised_weights_allows_any_init(small_problem):
                                 key=jax.random.PRNGKey(12),
                                 batch_size=4)
     assert np.all(np.isfinite(lo)) and np.all(np.isfinite(hi))
+
+
+class TestUnsupervisedBootstrap:
+    """--confidence without --ref: the reference crashes
+    (`demethify/bootstrap.py:63`, ref.shape with ref=None); here the
+    unsupervised mode resamples (Y, D) rows in both layouts."""
+
+    def test_unsupervised_solve_matches_gathered(self, small_problem):
+        from demethify_tpu.solvers.unsupervised import unsupervised_solve
+
+        p = small_problem
+        y, d = p["y"], p["d"]
+        n_cpg, n_s = y.shape
+        n_u = 3
+        rng = np.random.default_rng(11)
+        drop = int(np.argmax(d.max(axis=1)))
+        idx = _resample_idx(rng, n_cpg, drop_row=drop)
+        w = _weights(idx, n_cpg)
+        assert w[drop] == 0
+        u0 = rng.uniform(size=(n_cpg, n_u))
+        a0 = rng.dirichlet(np.ones(n_u), size=n_s).T
+
+        want = unsupervised_solve(
+            jnp.asarray(u0[idx]), jnp.asarray(a0), jnp.asarray(y[idx]),
+            jnp.asarray(d[idx]), n_u, n_iter1=20, n_iter2=6, tol=1e-6,
+            record_trace=True)
+        got = unsupervised_solve(
+            jnp.asarray(u0), jnp.asarray(a0), jnp.asarray(y),
+            jnp.asarray(d), n_u, n_iter1=20, n_iter2=6, tol=1e-6,
+            record_trace=True, row_weights=jnp.asarray(w))
+
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(want[1]), atol=1e-9)
+        assert int(got[2]["n_iter"]) == int(want[2]["n_iter"])
+        w_tr = np.asarray(want[2]["trace"])
+        g_tr = np.asarray(got[2]["trace"])
+        mask = ~np.isnan(w_tr)
+        np.testing.assert_allclose(g_tr[mask], w_tr[mask], rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(want[0]),
+                                   np.asarray(got[0])[idx], atol=1e-9)
+
+    def test_unsupervised_ci_both_methods(self, small_problem):
+        p = small_problem
+        y, d = p["y"], p["d"]
+        n_u = 2
+        kw = dict(level=90.0, n_bootstrap=6, n_iter1=10, n_iter2=4,
+                  tol=1e-6, key=jax.random.PRNGKey(9), batch_size=3)
+        for method in ("resample", "weights"):
+            lo_p, hi_p, lo_u, hi_u = bootstrap_ci(
+                y, d, None, n_u, method=method, **kw)
+            assert lo_p.shape == (n_u, y.shape[1])
+            assert np.all(lo_p <= hi_p + 1e-12)
+            assert lo_u.shape == (y.shape[0], n_u)
+            assert np.all(np.isfinite(lo_u))
+            assert np.all(np.isfinite(hi_u))
+
+    def test_unsupervised_rejects_n_u_zero(self, small_problem):
+        import pytest
+
+        p = small_problem
+        with pytest.raises(ValueError, match="unsupervised"):
+            bootstrap_ci(p["y"], p["d"], None, 0, level=90.0,
+                         n_bootstrap=2)
