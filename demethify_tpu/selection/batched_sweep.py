@@ -50,6 +50,73 @@ def _masked_uniform_init(key, n_cpg, n_ct, n_u_max, n_s, dtype, row_mask):
     return u0, alpha0
 
 
+def _masked_random_init(key, init_option: str, y, d, ref, n_ct: int,
+                        n_u_max: int, row_mask):
+    """``beta`` / ``uniform`` (WLS-alpha) inits on the active support,
+    vmappable over sweep members (one compile for all ranks).
+
+    Matches `solvers.init.init_partial` / `init_unsupervised` semantics
+    per member: Beta(.5,.5) u draws (`deconvolution.py:48-49`), or the
+    WLS alpha (`deconvolution.py:50-52`) computed on the MASKED design
+    [ref | u0] — inactive u columns are exactly zero, so their NNLS
+    coefficients stay exactly zero (zero column -> zero gradient from
+    the zero start, zero polish) and the masked WLS equals the
+    truncated-design WLS. Ranks above n_samples take the reference's
+    silent uniform_ fallback (`deconvolution.py:44-45`), selected per
+    member under vmap.
+    """
+    n_cpg, n_s = y.shape
+    dtype = y.dtype
+    k1, k2 = jax.random.split(key)
+    u_mask = row_mask[n_ct:]
+    fallback = jnp.sum(u_mask) > n_s
+
+    u_uni = jax.random.uniform(k1, (n_cpg, n_u_max), dtype)
+    if init_option == "beta":
+        u_opt = jax.random.beta(k1, 0.5, 0.5,
+                                (n_cpg, n_u_max)).astype(dtype)
+    else:
+        u_opt = u_uni
+    u0 = jnp.where(fallback, u_uni, u_opt) * u_mask[None, :]
+
+    g = jax.random.gamma(k2, 1.0, (n_ct + n_u_max, n_s)).astype(dtype)
+    g = g * row_mask[:, None]
+    alpha_dir = g / jnp.sum(g, axis=0, keepdims=True)
+
+    if init_option == "uniform" and ref is not None:
+        from demethify_tpu.ops.nnls import wls_intercept_batch
+
+        X = jnp.concatenate([ref.astype(dtype), u0], axis=1)
+        alpha_wls = wls_intercept_batch(y, d, X)
+        alpha0 = jnp.where(fallback, alpha_dir, alpha_wls)
+    else:
+        # unsupervised 'uniform' is uniform_ (reference NameError
+        # fallback, see solvers/init.py); beta keeps the Dirichlet alpha
+        alpha0 = alpha_dir
+    if ref is not None:
+        alpha0 = _masked_zero_guard(alpha0, n_ct)
+    return u0, alpha0
+
+
+RANDOM_INITS = ("uniform_", "beta", "uniform")
+
+
+def _masked_init_batch(keys, init_option, y, d, ref, n_ct, n_u_max,
+                       masks):
+    """Vmapped masked init for the random options (one draw batch)."""
+    n_cpg, n_s = y.shape
+    dtype = y.dtype
+    if init_option == "uniform_":
+        def init_one(k, row_mask):
+            return _masked_uniform_init(k, n_cpg, n_ct, n_u_max, n_s,
+                                        dtype, row_mask)
+    else:
+        def init_one(k, row_mask):
+            return _masked_random_init(k, init_option, y, d, ref, n_ct,
+                                       n_u_max, row_mask)
+    return jax.vmap(init_one)(keys, masks)
+
+
 def _masked_zero_guard(alpha, n_ct: int):
     """Padded-layout form of ``solvers.init._zero_guard``
     (`deconvolution.py:74-76`): the FIRST unknown row sits at index
@@ -69,9 +136,11 @@ def _padded_init_batch(y, d, ref, init_option: str, n_u_max: int, key,
                        masks):
     """Per-rank inits padded into the masked batch layout.
 
-    uniform_ draws every member masked (one vmapped computation). The
-    deterministic options reproduce `solvers.init.init_partial` /
-    `init_unsupervised` per rank VALUE-EXACTLY:
+    The random options (uniform_, beta, uniform — see
+    `_masked_random_init` for the WLS-alpha story) draw every member
+    masked in one vmapped computation. The deterministic options
+    reproduce `solvers.init.init_partial` / `init_unsupervised` per rank
+    VALUE-EXACTLY:
 
     - SVD: ONE rank-n_u_max NNDSVD serves every member — NNDSVD
       component j depends only on singular triplet j
@@ -100,14 +169,10 @@ def _padded_init_batch(y, d, ref, init_option: str, n_u_max: int, key,
     n_ct = 0 if ref is None else ref.shape[1]
     p_max = n_ct + n_u_max
 
-    if init_option == "uniform_":
+    if init_option in RANDOM_INITS:
         keys = jax.random.split(key, masks.shape[0])
-
-        def init_one(k, row_mask):
-            return _masked_uniform_init(k, n_cpg, n_ct, n_u_max, n_s,
-                                        dtype, row_mask)
-
-        return jax.vmap(init_one)(keys, masks)
+        return _masked_init_batch(keys, init_option, y, d, ref, n_ct,
+                                  n_u_max, masks)
 
     svd_parts = None
     if init_option == "SVD" and n_u_max >= 1:
@@ -141,7 +206,7 @@ def _padded_init_batch(y, d, ref, init_option: str, n_u_max: int, key,
             a0 = project_columns_to_simplex_masked(a_full, masks[i])
             if ref is not None:
                 a0 = _masked_zero_guard(a0, n_ct)
-        else:                                      # ICA (and 'beta' etc.)
+        else:                                      # ICA
             if ref is not None:
                 u_k, a_k = init_partial(k_rank, init_option, y, d, ref,
                                         rank)
@@ -157,10 +222,27 @@ def _padded_init_batch(y, d, ref, init_option: str, n_u_max: int, key,
     return jnp.stack(u0_rows), jnp.stack(a0_rows)
 
 
+# Device-memory budget for the padded sweep's member batch: each member
+# carries ~(6 n_u_max + 3 n_s + min(n_u_max^2, 3 n_s)) values per CpG row
+# through the vmapped solver (u/u_prev/momentum + the Gram-or-direct
+# dataflow temporaries, ops/fista.py). Batches whose footprint exceeds
+# the budget solve in fixed-size member chunks under ONE compilation —
+# a large --icmax chunks instead of OOMing.
+_SWEEP_MEMBER_BUDGET = 4 * 2 ** 30
+
+
+def _sweep_member_chunk(n_cpg: int, n_s: int, n_u_max: int,
+                        itemsize: int) -> int:
+    per_member = n_cpg * itemsize * (
+        6 * n_u_max + 3 * n_s + min(n_u_max * n_u_max, 3 * n_s))
+    return int(max(1, _SWEEP_MEMBER_BUDGET // max(per_member, 1)))
+
+
 def batched_rank_sweep(y, d, ref, *, n_u_max: int, key,
                        iter1: int, iter2: int, tol: float,
                        tol_relative: bool = False,
-                       init_option: str = "uniform_"):
+                       init_option: str = "uniform_",
+                       member_chunk: int = 0):
     """Solve partial-reference (ref given) or unsupervised (ref None)
     deconvolution for every n_u in 1..n_u_max as one vmapped computation.
 
@@ -168,6 +250,12 @@ def batched_rank_sweep(y, d, ref, *, n_u_max: int, key,
     padded factors, alpha_b (n_u_max, p_max, n_s), per-member final costs
     and iteration counts. Member i's valid slice is u_b[i][:, :i+1] /
     the active alpha rows.
+
+    ``member_chunk`` (0 = auto from _SWEEP_MEMBER_BUDGET): ranks solved
+    per device dispatch. Chunking is value-invariant — per-chunk inits
+    reuse the same per-member keys / deterministic components, the last
+    chunk pads by repeating its first member, and all chunks share one
+    jitted program.
     """
     from demethify_tpu.solvers.partial_ref import partial_ref_solve
     from demethify_tpu.solvers.unsupervised import unsupervised_solve
@@ -179,12 +267,8 @@ def batched_rank_sweep(y, d, ref, *, n_u_max: int, key,
     if ref is not None:
         ref = jnp.asarray(ref)
     masks = _member_masks(n_ct, n_u_max)
-    u0_b, a0_b = _padded_init_batch(y, d, ref, init_option, n_u_max, key,
-                                    masks)
 
     if ref is not None:
-        ref = jnp.asarray(ref)
-
         def solve_one(u0, a0, row_mask):
             return partial_ref_solve(
                 u0, a0, y, d, ref, n_u_max, n_iter1=iter1, n_iter2=iter2,
@@ -195,13 +279,96 @@ def batched_rank_sweep(y, d, ref, *, n_u_max: int, key,
                 u0, a0, y, d, n_u_max, n_iter1=iter1, n_iter2=iter2,
                 tol=tol, tol_relative=tol_relative, row_mask=row_mask)
 
-    u_b, alpha_b, info = jax.vmap(solve_one)(u0_b, a0_b, masks)
+    chunk = member_chunk or _sweep_member_chunk(
+        n_cpg, n_s, n_u_max, jnp.dtype(y.dtype).itemsize)
+    if chunk >= n_u_max:
+        u0_b, a0_b = _padded_init_batch(y, d, ref, init_option, n_u_max,
+                                        key, masks)
+        u_b, alpha_b, info = jax.vmap(solve_one)(u0_b, a0_b, masks)
+        return u_b, alpha_b, info["cost"], info["n_iter"]
+
+    # chunked: inits are ALSO per-chunk (the full (K, n_cpg, n_u_max)
+    # init batch alone can exceed the budget at large --icmax)
+    keys = (jax.random.split(key, n_u_max)
+            if init_option in RANDOM_INITS else None)
+    fn = jax.jit(jax.vmap(solve_one))
+    outs = []
+    for s in range(0, n_u_max, chunk):
+        e = min(s + chunk, n_u_max)
+        cm = masks[s:e]
+        if init_option in RANDOM_INITS:
+            cu0, ca0 = _masked_init_batch(keys[s:e], init_option, y, d,
+                                          ref, n_ct, n_u_max, cm)
+        else:
+            cu0, ca0 = _padded_init_batch(y, d, ref, init_option,
+                                          n_u_max, key, cm)
+        pad = chunk - (e - s)
+        if pad:
+            cu0, ca0, cm = (
+                jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)],
+                                axis=0) for x in (cu0, ca0, cm))
+        u_c, a_c, info_c = fn(cu0, ca0, cm)
+        outs.append(jax.tree.map(lambda x: x[:e - s],
+                                 (u_c, a_c, info_c)))
+    u_b, alpha_b, info = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    return u_b, alpha_b, info["cost"], info["n_iter"]
+
+
+def solve_sweep_members(y, d, ref, ranks, *, n_u_max: int, key,
+                        iter1: int, iter2: int, tol: float,
+                        tol_relative: bool = False,
+                        init_option: str = "uniform_"):
+    """Masked solves for an arbitrary subset of sweep members, selected
+    by GLOBAL rank (1-based). Member inits use the member's global
+    identity — split(key, n_u_max)[rank-1] for the random options,
+    fold_in(key, rank) for the deterministic components — so ANY
+    partition of 1..n_u_max across processes reproduces the full
+    batched sweep's members exactly. This keeps the multihost
+    rank-partitioned AIC/BIC sweep (selection/sweep.py) bit-identical
+    to the single-process compile-once sweep.
+
+    Returns (u_b, alpha_b, costs, n_iters) for the given ranks, in the
+    padded batch layout (member i's valid slice is u_b[i][:, :ranks[i]]).
+    """
+    from demethify_tpu.solvers.partial_ref import partial_ref_solve
+    from demethify_tpu.solvers.unsupervised import unsupervised_solve
+
+    y = jnp.asarray(y)
+    d = jnp.asarray(d)
+    n_ct = 0 if ref is None else ref.shape[1]
+    if ref is not None:
+        ref = jnp.asarray(ref)
+    masks = _member_masks(n_ct, n_u_max)
+    idx = np.asarray([r - 1 for r in ranks])
+    masks_sel = masks[idx]
+    if init_option in RANDOM_INITS:
+        keys = jax.random.split(key, n_u_max)[idx]
+        u0_b, a0_b = _masked_init_batch(keys, init_option, y, d, ref,
+                                        n_ct, n_u_max, masks_sel)
+    else:
+        u0_b, a0_b = _padded_init_batch(y, d, ref, init_option, n_u_max,
+                                        key, masks_sel)
+
+    if ref is not None:
+        def solve_one(u0, a0, row_mask):
+            return partial_ref_solve(
+                u0, a0, y, d, ref, n_u_max, n_iter1=iter1, n_iter2=iter2,
+                tol=tol, tol_relative=tol_relative, row_mask=row_mask)
+    else:
+        def solve_one(u0, a0, row_mask):
+            return unsupervised_solve(
+                u0, a0, y, d, n_u_max, n_iter1=iter1, n_iter2=iter2,
+                tol=tol, tol_relative=tol_relative, row_mask=row_mask)
+
+    u_b, alpha_b, info = jax.vmap(solve_one)(u0_b, a0_b, masks_sel)
     return u_b, alpha_b, info["cost"], info["n_iter"]
 
 
 def batched_ccc_sweep(y, d, ref, *, n_u_max: int, n_restarts: int, key,
                       iter1: int, iter2: int, tol: float,
-                      tol_relative: bool = False):
+                      tol_relative: bool = False,
+                      init_option: str = "uniform_"):
     """CCC sweep: ALL (rank, restart) members as one vmapped solve.
 
     Cluster assignments (argmax over alpha rows, `ic.py:30`) are untouched
@@ -222,12 +389,8 @@ def batched_ccc_sweep(y, d, ref, *, n_u_max: int, n_restarts: int, key,
     masks = _member_masks(n_ct, n_u_max)                    # (K, p)
     masks_b = jnp.repeat(masks, n_restarts, axis=0)         # (K*R, p)
     keys = jax.random.split(key, n_u_max * n_restarts)
-
-    def init_one(k, row_mask):
-        return _masked_uniform_init(k, n_cpg, n_ct, n_u_max, n_s, dtype,
-                                    row_mask)
-
-    u0_b, a0_b = jax.vmap(init_one)(keys, masks_b)
+    u0_b, a0_b = _masked_init_batch(keys, init_option, y, d, ref, n_ct,
+                                    n_u_max, masks_b)
 
     if ref is not None:
         ref = jnp.asarray(ref)
@@ -242,7 +405,25 @@ def batched_ccc_sweep(y, d, ref, *, n_u_max: int, n_restarts: int, key,
                 u0, a0, y, d, n_u_max, n_iter1=iter1, n_iter2=iter2,
                 tol=tol, tol_relative=tol_relative, row_mask=row_mask)
 
-    u_b, alpha_b, _ = jax.vmap(solve_one)(u0_b, a0_b, masks_b)
+    chunk = _sweep_member_chunk(n_cpg, n_s, n_u_max,
+                                jnp.dtype(y.dtype).itemsize)
+    if chunk >= masks_b.shape[0]:
+        u_b, alpha_b, _ = jax.vmap(solve_one)(u0_b, a0_b, masks_b)
+    else:
+        fn = jax.jit(jax.vmap(solve_one))
+        outs = []
+        for s in range(0, masks_b.shape[0], chunk):
+            e = min(s + chunk, masks_b.shape[0])
+            cu0, ca0, cm = u0_b[s:e], a0_b[s:e], masks_b[s:e]
+            pad = chunk - (e - s)
+            if pad:
+                cu0, ca0, cm = (
+                    jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)],
+                                    axis=0) for x in (cu0, ca0, cm))
+            u_c, a_c, _ = fn(cu0, ca0, cm)
+            outs.append((u_c[:e - s], a_c[:e - s]))
+        u_b = jnp.concatenate([o[0] for o in outs], axis=0)
+        alpha_b = jnp.concatenate([o[1] for o in outs], axis=0)
     alpha_np = np.asarray(alpha_b).reshape(n_u_max, n_restarts,
                                            n_ct + n_u_max, n_s)
     u_np = np.asarray(u_b).reshape(n_u_max, n_restarts, n_cpg, n_u_max)
@@ -265,7 +446,8 @@ def batched_ccc_sweep(y, d, ref, *, n_u_max: int, n_restarts: int, key,
 def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
                       iter1: int, iter2: int, tol: float,
                       fraction: float = 0.3, tol_relative: bool = False,
-                      progress: bool = False):
+                      progress: bool = False,
+                      init_option: str = "uniform_"):
     """Bi-cross-validation sweep with ONE compilation: the vmapped masked
     solver is jitted once over all ranks, and the host loops folds (the
     reference redraws the same fold masks for every rank, `ic.py:59`, so
@@ -281,19 +463,26 @@ def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
     n_ct = 0 if ref is None else ref.shape[1]
     masks = _member_masks(n_ct, n_u_max)
     k_folds, k_init = jax.random.split(key)
-    keys = jax.random.split(k_init, n_u_max)
-
-    def init_one(k, row_mask):
-        return _masked_uniform_init(k, n_cpg, n_ct, n_u_max, n_s, dtype,
-                                    row_mask)
-
-    u0_b, a0_b = jax.vmap(init_one)(keys, masks)
+    # 'uniform' with a reference initializes alpha by WLS on the (masked)
+    # data, so its inits are per-fold like the serial path's
+    # (bcv.py: k_init drawn per fold, init on y_tr); the data-independent
+    # options draw once.
+    data_dependent = init_option == "uniform" and ref is not None
+    if not data_dependent:
+        keys = jax.random.split(k_init, n_u_max)
+        u0_b, a0_b = _masked_init_batch(keys, init_option, y, d, ref,
+                                        n_ct, n_u_max, masks)
+    else:
+        @jax.jit
+        def init_fold(y_tr, d_tr, ks):
+            return _masked_init_batch(ks, init_option, y_tr, d_tr, ref,
+                                      n_ct, n_u_max, masks)
 
     if ref is not None:
         ref_j = jnp.asarray(ref)
 
         @jax.jit
-        def solve_all_ranks(y_tr, d_tr):
+        def solve_all_ranks(y_tr, d_tr, u0_b, a0_b):
             def one(u0, a0, row_mask):
                 return partial_ref_solve(
                     u0, a0, y_tr, d_tr, ref_j, n_u_max, n_iter1=iter1,
@@ -302,7 +491,7 @@ def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
             return jax.vmap(one)(u0_b, a0_b, masks)
     else:
         @jax.jit
-        def solve_all_ranks(y_tr, d_tr):
+        def solve_all_ranks(y_tr, d_tr, u0_b, a0_b):
             def one(u0, a0, row_mask):
                 return unsupervised_solve(
                     u0, a0, y_tr, d_tr, n_u_max, n_iter1=iter1,
@@ -325,7 +514,12 @@ def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
         n_test = float(jnp.sum(test_mask))
         if n_test == 0:
             continue
-        u_b, alpha_b, _ = solve_all_ranks(y * train_mask, d * train_mask)
+        y_tr, d_tr = y * train_mask, d * train_mask
+        if data_dependent:
+            ks = jax.random.split(jax.random.fold_in(k_init, fold),
+                                  n_u_max)
+            u0_b, a0_b = init_fold(y_tr, d_tr, ks)
+        u_b, alpha_b, _ = solve_all_ranks(y_tr, d_tr, u0_b, a0_b)
         for i in range(n_u_max):
             if ref is not None:
                 R = jnp.concatenate([jnp.asarray(ref), u_b[i]], axis=1)
@@ -353,7 +547,8 @@ def evaluate_ic_batched(y, d, ref, ic: str, *, key=None, seed: int = 1,
                         n_u_max: int = 25, tol_relative: bool = False,
                         init_option: str = "uniform_"):
     """AIC/BIC sweep over n_u = 1..n_u_max with ONE solver compile +
-    dispatch, for uniform_ AND the deterministic SVD/ICA inits (see
+    dispatch, for ALL five init options: the random inits (uniform_,
+    beta, uniform) and the deterministic SVD/ICA inits (see
     _padded_init_batch for the per-init compile story).
 
     Returns (best_u, best_alpha, best_n_u, list_ic) like

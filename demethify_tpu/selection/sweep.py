@@ -111,22 +111,65 @@ def _evaluate_best_ic_multihost(y, d, ref, init_option, ic, key,
     allgathered, and EVERY process recomputes the winning rank's solve
     locally (deterministic keys make this bit-identical to a broadcast,
     without moving the (n_cpg, n_u) factors over DCN). y/d/ref must be
-    process-local full arrays."""
+    process-local full arrays.
+
+    AIC/BIC ranks solve through the masked compile-once machinery
+    (batched_sweep.solve_sweep_members) with GLOBAL member keys, so the
+    multihost sweep is bit-identical to the single-process batched
+    sweep for every init option. CCC/BCV keep the serial per-rank
+    criterion (their restart/fold keying is process-partition-stable
+    but differs from the single-process batched draws — documented
+    divergence, both are valid random restarts)."""
     import numpy as np
     from jax.experimental import multihost_utils
 
+    from demethify_tpu.selection import batched_sweep as bs
+
+    n_cpg, n_samples = y.shape
+    n_ct = 0 if ref is None else ref.shape[1]
+    batched = (ic in ("AIC", "BIC")
+               and init_option in bs.RANDOM_INITS + ("SVD", "ICA"))
+
+    def member_criterion(ranks):
+        """(criteria, u_b, alpha_b) for the given ranks via the masked
+        batch (padded layout)."""
+        u_b, alpha_b, costs, _ = bs.solve_sweep_members(
+            y, d, ref, ranks, n_u_max=n_u_max, key=key, iter1=iter1,
+            iter2=iter2, tol=tol, init_option=init_option)
+        fn = compute_bic if ic == "BIC" else compute_aic
+        costs = np.asarray(costs, dtype=np.float64)
+        vals = [float(fn(costs[j], r, n_cpg, n_ct, n_samples))
+                for j, r in enumerate(ranks)]
+        return vals, u_b, alpha_b
+
     crit = np.full(n_u_max, np.inf)
-    for n_u in range(1 + process_index, n_u_max + 1, process_count):
-        crit[n_u - 1], _, _ = _rank_criterion(
-            y, d, ref, n_u, init_option, ic, key, iter1, iter2, tol,
-            n_restarts)
+    owned = list(range(1 + process_index, n_u_max + 1, process_count))
+    if batched:
+        if owned:
+            vals, _, _ = member_criterion(owned)
+            for j, r in enumerate(owned):
+                crit[r - 1] = vals[j]
+    else:
+        for n_u in owned:
+            crit[n_u - 1], _, _ = _rank_criterion(
+                y, d, ref, n_u, init_option, ic, key, iter1, iter2, tol,
+                n_restarts)
     all_crit = np.asarray(multihost_utils.process_allgather(
         crit, tiled=False))              # (nproc, n_u_max)
     merged = all_crit.min(axis=0)        # each rank owned by one process
-    best_n_u = int(np.argmin(merged)) + 1
-    _, best_u, best_alpha = _rank_criterion(
-        y, d, ref, best_n_u, init_option, ic, key, iter1, iter2, tol,
-        n_restarts)
+    best_n_u = int(np.argmin(np.where(np.isfinite(merged), merged,
+                                      np.inf))) + 1
+    if batched:
+        _, u_b, alpha_b = member_criterion([best_n_u])
+        best_u = np.asarray(u_b[0])[:, :best_n_u]
+        alpha_full = np.asarray(alpha_b[0])
+        best_alpha = np.concatenate(
+            [alpha_full[:n_ct], alpha_full[n_ct:n_ct + best_n_u]],
+            axis=0)
+    else:
+        _, best_u, best_alpha = _rank_criterion(
+            y, d, ref, best_n_u, init_option, ic, key, iter1, iter2,
+            tol, n_restarts)
     return best_u, best_alpha, best_n_u, [float(v) for v in merged]
 
 
@@ -152,8 +195,9 @@ def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
             y, d, ref, init_option, ic, key, iter1, iter2, tol,
             n_restarts, n_u_max, process_count, process_index)
 
-    batched_inits = ("uniform_", "SVD", "ICA")
-    if ((init_option == "uniform_" and ic in ("CCC", "BCV"))
+    random_inits = ("uniform_", "beta", "uniform")
+    batched_inits = random_inits + ("SVD", "ICA")
+    if ((init_option in random_inits and ic in ("CCC", "BCV"))
             or (init_option in batched_inits and ic in ("AIC", "BIC"))):
         # compile-once padded sweeps: every rank (x restart/fold) solved
         # under ONE solver compilation (selection/batched_sweep.py) — vs
@@ -173,12 +217,14 @@ def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
             return bs.batched_ccc_sweep(y, d, ref, n_u_max=n_u_max,
                                         n_restarts=n_restarts, key=key,
                                         iter1=iter1, iter2=iter2, tol=tol,
-                                        tol_relative=tol_relative)
+                                        tol_relative=tol_relative,
+                                        init_option=init_option)
         return bs.batched_bcv_sweep(y, d, ref, n_u_max=n_u_max,
                                     n_folds=n_restarts, key=key,
                                     iter1=iter1, iter2=iter2, tol=tol,
                                     tol_relative=tol_relative,
-                                    progress=progress)
+                                    progress=progress,
+                                    init_option=init_option)
 
     if ic == "minka":
         # pass the (possibly sharded) arrays through: minka keeps the

@@ -242,3 +242,143 @@ class TestDeterministicInitSweep:
             n_u_max=n_u_max, init_option="SVD")
         assert len(got) == n_u_max
         assert np.isfinite(got).all()
+
+
+class TestRandomInitSweep:
+    """beta / uniform (WLS-alpha) inits through the compile-once path:
+    masked draws live on the active support only, the masked WLS equals
+    the truncated-design WLS, and the sweeps dispatch batched (no
+    per-rank serial compiles)."""
+
+    def test_masked_beta_init_support(self, small_problem):
+        from demethify_tpu.selection.batched_sweep import (
+            _masked_random_init,
+        )
+        p = small_problem
+        y, d, ref = (jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+                     jnp.asarray(p["R_trunc"]))
+        n_ct, n_u_max = ref.shape[1], 4
+        mask = jnp.asarray(np.arange(n_ct + n_u_max) < n_ct + 2)
+        u0, a0 = _masked_random_init(jax.random.PRNGKey(7), "beta",
+                                     y, d, ref, n_ct, n_u_max, mask)
+        u0, a0 = np.asarray(u0), np.asarray(a0)
+        np.testing.assert_array_equal(u0[:, 2:], 0.0)
+        assert ((u0[:, :2] >= 0) & (u0[:, :2] <= 1)).all()
+        np.testing.assert_array_equal(a0[n_ct + 2:], 0.0)
+        np.testing.assert_allclose(a0.sum(axis=0), 1.0, atol=1e-12)
+
+    def test_masked_wls_equals_truncated_design(self, small_problem):
+        """The 'uniform' init's WLS on the padded design (zero inactive
+        columns) must equal the WLS on the truncated design exactly —
+        zero columns get exactly-zero NNLS coefficients."""
+        from demethify_tpu.ops.nnls import wls_intercept_batch
+        from demethify_tpu.selection.batched_sweep import (
+            _masked_random_init,
+        )
+        from demethify_tpu.solvers.init import _zero_guard
+        p = small_problem
+        y, d, ref = (jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+                     jnp.asarray(p["R_trunc"]))
+        n_ct, n_u_max, rank = ref.shape[1], 4, 2
+        mask = jnp.asarray(np.arange(n_ct + n_u_max) < n_ct + rank)
+        u0, a0 = _masked_random_init(jax.random.PRNGKey(3), "uniform",
+                                     y, d, ref, n_ct, n_u_max, mask)
+        u_act = u0[:, :rank]
+        want = wls_intercept_batch(
+            y, d, jnp.concatenate([ref, u_act], axis=1))
+        want = _zero_guard(want, rank)
+        got = np.asarray(a0)
+        np.testing.assert_array_equal(got[n_ct + rank:], 0.0)
+        np.testing.assert_allclose(got[:n_ct + rank], np.asarray(want),
+                                   rtol=1e-9, atol=1e-12)
+
+    @pytest.mark.parametrize("init", ["beta", "uniform"])
+    def test_evaluate_ic_batched_random_inits(self, small_problem, init):
+        p = small_problem
+        n_u_max = p["y"].shape[1] + 1   # exercises the rank fallback too
+        u, alpha, n_u, ics = evaluate_ic_batched(
+            jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+            jnp.asarray(p["R_trunc"]), "AIC", key=jax.random.PRNGKey(5),
+            iter1=10, iter2=4, tol=1e-7, n_u_max=n_u_max,
+            init_option=init)
+        assert len(ics) == n_u_max and np.isfinite(ics).all()
+        assert u.shape[1] == n_u
+        np.testing.assert_allclose(alpha.sum(axis=0), 1.0, atol=1e-8)
+
+    @pytest.mark.parametrize("init", ["beta", "uniform"])
+    def test_unsupervised_random_inits(self, small_problem, init):
+        p = small_problem
+        u, alpha, n_u, ics = evaluate_ic_batched(
+            jnp.asarray(p["y"]), jnp.asarray(p["d"]), None, "BIC",
+            key=jax.random.PRNGKey(6), iter1=10, iter2=4, tol=1e-7,
+            n_u_max=3, init_option=init)
+        assert len(ics) == 3 and np.isfinite(ics).all()
+        np.testing.assert_allclose(alpha.sum(axis=0), 1.0, atol=1e-8)
+
+    @pytest.mark.parametrize("ic", ["AIC", "CCC", "BCV"])
+    def test_sweep_dispatches_batched_for_beta(self, small_problem, ic,
+                                               monkeypatch):
+        """--ic {AIC,CCC,BCV} --init beta must take the compile-once
+        path — the serial per-rank criterion must never run."""
+        from demethify_tpu.selection import sweep
+
+        def boom(*a, **k):
+            raise AssertionError("serial per-rank path taken")
+
+        monkeypatch.setattr(sweep, "_rank_criterion", boom)
+        p = small_problem
+        u, alpha, n_u, ics = sweep.evaluate_best_ic(
+            p["y"], p["d"], p["R_trunc"], "beta", ic,
+            iter1=6, iter2=3, tol=1e-6, n_restarts=2, n_u_max=2)
+        assert len(ics) == 2
+
+    def test_bcv_uniform_init_per_fold(self, small_problem):
+        """BCV with the data-dependent 'uniform' init recomputes inits on
+        each fold's masked data (serial-path semantics, bcv.py)."""
+        from demethify_tpu.selection.batched_sweep import batched_bcv_sweep
+        p = small_problem
+        u, alpha, n_u, press = batched_bcv_sweep(
+            p["y"], p["d"], jnp.asarray(p["R_trunc"]), n_u_max=2,
+            n_folds=2, key=jax.random.PRNGKey(8),
+            iter1=6, iter2=3, tol=1e-6, init_option="uniform")
+        assert len(press) == 2
+        assert all(np.isfinite(v) for v in press)
+
+
+class TestMemberChunking:
+    """Large --icmax sweeps must chunk the member axis (bounded memory,
+    one compile) and produce results identical to the unchunked batch."""
+
+    @pytest.mark.parametrize("init", ["uniform_", "beta", "SVD"])
+    def test_chunked_equals_unchunked(self, small_problem, init):
+        p = small_problem
+        y, d, ref = (jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+                     jnp.asarray(p["R_trunc"]))
+        key = jax.random.PRNGKey(2)
+        kw = dict(n_u_max=5, key=key, iter1=8, iter2=4, tol=1e-7,
+                  init_option=init)
+        u_w, a_w, c_w, n_w = batched_rank_sweep(y, d, ref,
+                                                member_chunk=5, **kw)
+        u_g, a_g, c_g, n_g = batched_rank_sweep(y, d, ref,
+                                                member_chunk=2, **kw)
+        np.testing.assert_allclose(np.asarray(u_g), np.asarray(u_w),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a_g), np.asarray(a_w),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(c_g), np.asarray(c_w),
+                                   rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(n_g), np.asarray(n_w))
+
+    def test_auto_chunk_engages_on_tiny_budget(self, small_problem,
+                                               monkeypatch):
+        from demethify_tpu.selection import batched_sweep as bs
+        monkeypatch.setattr(bs, "_SWEEP_MEMBER_BUDGET", 1)  # 1 byte
+        p = small_problem
+        assert bs._sweep_member_chunk(p["y"].shape[0], p["y"].shape[1],
+                                      4, 8) == 1
+        u_b, a_b, costs, _ = bs.batched_rank_sweep(
+            jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+            jnp.asarray(p["R_trunc"]), n_u_max=4,
+            key=jax.random.PRNGKey(0), iter1=5, iter2=3, tol=1e-6)
+        assert costs.shape == (4,)
+        assert np.isfinite(np.asarray(costs)).all()
