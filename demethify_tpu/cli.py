@@ -359,6 +359,27 @@ def main(argv=None):
             # per-chip memory stays 1/n_devices of the data and the Gram
             # reductions psum over ICI (genome-scale sharded CIs)
             y_bt, d_bt, ref_bt = y, d, ref_mat
+        elif (args.shard and args.multihost
+                and ci_method == "weights" and ref_mat is not None):
+            # 2-D scale-out (--multihost --shard): replicates partition
+            # across PROCESSES (DCN carries only the tiny per-replicate
+            # results) while each process row-shards (Y, D, R) over its
+            # LOCAL chips (ICI carries the weighted Gram psums) — so
+            # genome-scale bootstrap CIs compose with multihost
+            # (per-chip memory is 1/local_device_count of the data,
+            # never host-full-per-chip)
+            from demethify_tpu.parallel.mesh import (
+                make_mesh,
+                shard_dataset,
+            )
+            lmesh = make_mesh(jax.local_devices(), replicate=1)
+            y_bt, d_bt, ref_bt = shard_dataset(
+                lmesh, ds.meth_f.astype(np_dtype),
+                ds.counts.astype(np_dtype), ds.ref.astype(np_dtype))
+            if dev_dtype is not None:
+                y_bt = y_bt.astype(dev_dtype)
+                d_bt = d_bt.astype(dev_dtype)
+                ref_bt = ref_bt.astype(dev_dtype)
         elif args.multihost or args.shard:
             # resample mode runs on host-full arrays — row-sharded
             # inputs would turn every replicate's row gather into an
@@ -429,7 +450,29 @@ def main(argv=None):
     profile_ctx = device_profile(args.profile)
     profile_ctx.__enter__()
     if ic_name:
-        if args.multihost:
+        if args.multihost and args.shard:
+            # 2-D sweep (--multihost --shard): candidate ranks partition
+            # across PROCESSES while each process solves its ranks on
+            # its LOCAL row-sharded mesh (GSPMD inserts the Gram psums
+            # over ICI) — genome-scale model selection composes with
+            # multihost. Row padding for shard divisibility perturbs the
+            # AIC/BIC n_cpg term by < n_local_devices rows (same as the
+            # single-process --shard sweep).
+            from demethify_tpu.parallel.mesh import (
+                make_mesh,
+                shard_dataset,
+            )
+            lmesh = make_mesh(jax.local_devices(), replicate=1)
+            y_ic, d_ic, ref_ic = shard_dataset(
+                lmesh, ds.meth_f.astype(np_dtype),
+                ds.counts.astype(np_dtype),
+                None if ds.ref is None else ds.ref.astype(np_dtype))
+            if dev_dtype is not None:
+                y_ic = y_ic.astype(dev_dtype)
+                d_ic = d_ic.astype(dev_dtype)
+                ref_ic = (None if ref_ic is None
+                          else ref_ic.astype(dev_dtype))
+        elif args.multihost:
             # rank-partitioned sweep on host-full arrays (criteria
             # allgathered; the winner is recomputed identically on
             # every process — see selection/sweep.py)

@@ -14,9 +14,19 @@ import numpy as np
 
 def enable_compile_cache(path: str = "/tmp/demethify_tpu_jax_cache"):
     """Persistent XLA compile cache — first compiles through the remote
-    TPU compile service can take minutes; repeats are seconds."""
+    TPU compile service can take minutes; repeats are seconds.
+
+    ``DEMETHIFY_COMPILE_CACHE`` overrides the location; the empty string
+    DISABLES the persistent cache. Concurrent writers of one directory
+    can poison entries (a corrupted/machine-mismatched entry segfaults
+    jax's cache read on every later hit) — the test suite, whose
+    multihost e2e tests spawn concurrent CLI subprocesses, disables it
+    and keeps the real TPU cache untouched."""
     import jax
 
+    path = os.environ.get("DEMETHIFY_COMPILE_CACHE", path)
+    if not path:
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -2,7 +2,18 @@
 for testing mesh/sharding code without TPU hardware), float64 enabled so
 numerical-parity oracles are meaningful."""
 
-import jax
+import os
+
+# The CLI enables jax's persistent compile cache; under the suite that
+# means the pytest process (in-process cli_main runs) AND concurrently
+# spawned multihost CLI subprocesses would share one directory —
+# concurrent/machine-mismatched entries have segfaulted the cache read.
+# Disable it for tests (empty = off, see utils.enable_compile_cache);
+# tiny CPU HLOs recompile in seconds and the real TPU cache stays
+# untouched.
+os.environ["DEMETHIFY_COMPILE_CACHE"] = ""
+
+import jax  # noqa: E402
 
 # The environment pre-sets jax_platforms to "axon,cpu" (remote TPU tunnel);
 # config.update is the reliable way to pin tests to the local CPU backend.

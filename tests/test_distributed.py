@@ -188,3 +188,50 @@ class TestMultiProcessE2E:
         stacked = np.concatenate([part0.iloc[:, 1:].values,
                                   part1.iloc[:, 1:].values])[np.argsort(rows)]
         np.testing.assert_allclose(stacked, full.values, atol=1e-8)
+
+
+class TestTwoDimensionalScaleOut:
+    """2-D composition (--multihost --shard): ranks/replicates partition
+    across processes while each process row-shards over its LOCAL mesh.
+    With 1 local device per process (this CPU harness) the local shard
+    is the identity, so outputs must be bit-identical to single-process;
+    the multi-device row-sharding itself is covered by
+    tests/test_sharding.py."""
+
+    def test_two_process_2d_ic_sweep_matches_single(self, tmp_path):
+        import pandas as pd
+        helper = TestMultiProcessE2E()
+        out1, out2 = helper._two_proc_vs_single(
+            tmp_path, ["--ic", "AIC", "--icmax", "3",
+                       "--init", "beta", "--iterations", "30", "5",
+                       "--shard"],
+            drop_nbunknown=True)
+        got = pd.read_csv(out2 / "celltypes_proportions.csv", index_col=0)
+        want = pd.read_csv(out1 / "celltypes_proportions.csv",
+                           index_col=0)
+        assert list(got.index) == list(want.index)  # same chosen rank
+        np.testing.assert_allclose(got.values, want.values, atol=1e-8)
+
+    def test_two_process_2d_bootstrap_matches_single(self, tmp_path):
+        import ast
+        import pandas as pd
+        helper = TestMultiProcessE2E()
+        out1, out2 = helper._two_proc_vs_single(
+            tmp_path, ["--confidence", "90", "7",
+                       "--cimethod", "weights", "--shard"])
+
+        def bounds(path):
+            df = pd.read_csv(path, index_col=0)
+            return np.array([[ast.literal_eval(c) for c in row]
+                             for row in df.values])
+
+        # replicate draws fold the GLOBAL index, so the intervals agree
+        # to reduction-reassociation precision (the local-mesh data
+        # placement compiles a differently-annotated executable than the
+        # single-process plain-array one — not bitwise, ~1e-13)
+        for fname in ["confidence_interval_celltypes_proportions.csv",
+                      "confidence_interval_methylation_estimate.csv"]:
+            np.testing.assert_allclose(bounds(out2 / fname),
+                                       bounds(out1 / fname),
+                                       rtol=1e-10, atol=1e-12,
+                                       err_msg=fname)
