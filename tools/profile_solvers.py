@@ -42,17 +42,24 @@ def device_ms(tracedir, fn):
     return total / 1e3, top
 
 
-def main(which="all"):
+def main(which="all", storage=None):
+    """``storage`` (e.g. jnp.bfloat16) casts the DATA arrays (Y, D, Rt)
+    on device; the solver state (u, alpha) and all reductions stay f32
+    (ops/gram.accum_dtype). bf16 storage halves the dominant HBM read
+    traffic of the HBM-bound megakernel."""
     y, d, Rt, u0, a0 = make_problem()
     uj, aj, yj, dj, Rtj = [jax.device_put(x) for x in (u0, a0, y, d, Rt)]
+    if storage is not None:
+        yj, dj, Rtj = (x.astype(storage) for x in (yj, dj, Rtj))
     jax.block_until_ready([uj, aj, yj, dj, Rtj])
 
+    tag = "" if storage is None else f" [{jnp.dtype(storage).name} storage]"
     if which in ("all", "partial"):
         ms, top = device_ms("/tmp/prof_pr", lambda: float(
             fused.partial_ref_solve_fused(uj, aj, yj, dj, Rtj, N_U,
                                           n_iter1=ITERS, n_iter2=N_INNER,
                                           tol=0.0)[2]["cost"]))
-        print(f"partial-ref fused: {ms/ITERS:.4f} ms/iter [{top}]",
+        print(f"partial-ref fused{tag}: {ms/ITERS:.4f} ms/iter [{top}]",
               flush=True)
 
     if which in ("all", "purity"):
@@ -129,5 +136,7 @@ if __name__ == "__main__":
         main_multi()
     elif which == "multi_purity":
         main_multi_purity()
+    elif which == "bf16":
+        main("partial", storage=jnp.bfloat16)
     else:
         main(which)
