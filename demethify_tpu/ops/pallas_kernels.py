@@ -566,78 +566,36 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     T = dt.shape[-1]
     n_s = dt.shape[0]
 
-    a2_rows = a2b.reshape(n_b * n_u, n_s)
-    # c1[b,u] = a2[b,u,:] . dy  — one stacked dot for every member
-    c1 = jax.lax.dot_general(a2_rows, dy, (((1,), (0,)), ((), ())),
-                             preferred_element_type=state_dt)
-    if rtt_ref is not None:
-        rtt = rtt_ref[:].astype(state_dt)     # (n_ct, T)
-        n_ct = rtt.shape[0]
-        # c2[b,u] = sum_s a2[b,u,s] d[s] (sum_c a1[b,c,s] rtt[c])
-        #         = sum_c rtt[c] * h[b,u,c]  with
-        #   h[b,u,c] = sum_s (a2[b,u,s] a1[b,c,s]) d[s] — ONE stacked dot
-        # (folding a2 into the weights before the dot keeps the big
-        # temporary at B*n_u*n_ct rows instead of 2x B*n_s)
-        w_known = (a2b[:, :, None, :] * a1b_ref[:][:, None, :, :]
-                   ).reshape(n_b * n_u * n_ct, n_s)
-        h = jax.lax.dot_general(
-            w_known, dt, (((1,), (0,)), ((), ())),
-            preferred_element_type=state_dt).reshape(
-            n_b, n_u, n_ct, T)
-        c2 = jnp.sum(rtt[None, None] * h, axis=2)
-        c = c1.reshape(n_b, n_u, T) - c2
+    n_ct = rtt_ref.shape[0] if rtt_ref is not None else 0
+    rtt = rtt_ref[:].astype(state_dt) if rtt_ref is not None else None
+    if rtt is not None and n_u >= 2:
+        # drt rows (c-major): drt[c*n_s + s] = d[s] * rtt[c]. Shared by
+        # the general-case C build and Gram known block — built by
+        # sublane concat, no lane-axis reshape (Mosaic-safe).
+        drt = jnp.concatenate(
+            [dt * rtt[cc][None, :] for cc in range(n_ct)], axis=0)
     else:
-        rtt = None
-        c = c1.reshape(n_b, n_u, T)
-    # m[b,uv] = sum_s a2[b,u,s] a2[b,v,s] d[s] — one stacked dot
-    w2 = (a2b[:, :, None, :] * a2b[:, None, :, :]).reshape(
-        n_b * n_u * n_u, n_s)
-    m = jax.lax.dot_general(w2, dt, (((1,), (0,)), ((), ())),
-                            preferred_element_type=state_dt).reshape(
-        n_b, n_u, n_u, T)
+        drt = None
 
     # per-member FISTA scalars as (B, 1) columns (vector unit friendly);
     # scal rows: (a0, l_w, l_w_prev, active)
     a0 = scal_ref[:, 0:1]
     l_w = scal_ref[:, 1:2]
     l_prev0 = scal_ref[:, 2:3]
-    active3 = scal_ref[:, 3:4][:, :, None]    # (B, 1, 1)
-    kc = c / l_w[:, :, None]
-    km = m / l_w[:, :, None, None]
+    active2 = scal_ref[:, 3:4]                # (B, 1)
+    rcp = 1.0 / l_w                           # (B, 1)
 
-    # pre-scaled fma form for n_u = 1 (mirrors the single-member kernel:
-    # the per-step VPU chain drops from ~8 to ~5 ops — this loop is
-    # VPU-bound at B members x n_steps, so it's the dominant cost)
-    if n_u == 1:
-        km1 = 1.0 - km[:, :, 0]                           # (B, 1, T)
-        kmn = km[:, :, 0]
-
-        def step_fn(u_t, grad_at):
-            if lagged:
-                return u_t + (kc - kmn * grad_at)
-            return u_t * km1 + kc
-    else:
-        def step_fn(u_t, grad_at):
-            return u_t + (kc - jnp.sum(km * grad_at[:, None, :, :],
-                                       axis=2))
-
-    def body(_, carry):
-        u, up, a, l_prev = carry          # u (B, n_u, T); a/l_prev (B, 1)
+    def fista_scalars(a, l_prev):
         a1n = (1.0 + jnp.sqrt(1.0 + 4.0 * a * a)) / 2.0
         beta = jnp.minimum((a - 1.0) / a1n,
                            0.9999 * jnp.sqrt(l_prev / l_w))
-        u_t = u + beta[:, :, None] * (u - up)
-        u_new = jnp.clip(step_fn(u_t, u if lagged else u_t), 0.0, 1.0)
-        return (u_new, u, a1n, l_w)
+        return a1n, beta
 
-    u_in = u_ref[:]
-    up_in = up_ref[:]
-    carry = (u_in, up_in, a0, l_prev0)
-    if n_steps <= 64:
-        for _ in range(n_steps):
-            carry = body(None, carry)
-        u, up, _, _ = carry
-    else:
+    def run_steps(carry, body):
+        if n_steps <= 64:
+            for _ in range(n_steps):
+                carry = body(None, carry)
+            return carry
         chunk = next(cn for cn in (125, 100, 64, 50, 32, 25, 20, 16, 10,
                                    8, 5, 4, 2, 1)
                      if n_steps % cn == 0)
@@ -647,13 +605,127 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
                 carry = body(None, carry)
             return carry
 
-        u, up, _, _ = jax.lax.fori_loop(0, n_steps // chunk, chunk_body,
-                                        carry)
-    # freeze converged members in place: keeps the donated buffers live
-    u = active3 * u + (1.0 - active3) * u_in
-    up = active3 * up + (1.0 - active3) * up_in
-    u_out_ref[:] = u
-    up_out_ref[:] = up
+        return jax.lax.fori_loop(0, n_steps // chunk, chunk_body, carry)
+
+    if n_u == 1:
+        # closed-form n_u = 1 path on (B, 1, T) blocks (round-3 layout,
+        # measured at the VPU floor for this shape)
+        a2_rows = a2b.reshape(n_b * n_u, n_s)
+        c1 = jax.lax.dot_general(a2_rows, dy, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=state_dt)
+        c = c1.reshape(n_b, n_u, T)
+        if rtt is not None:
+            w_known = (a2b[:, :, None, :] * a1b_ref[:][:, None, :, :]
+                       ).reshape(n_b * n_u * n_ct, n_s)
+            h = jax.lax.dot_general(
+                w_known, dt, (((1,), (0,)), ((), ())),
+                preferred_element_type=state_dt).reshape(
+                n_b, n_u, n_ct, T)
+            c = c - jnp.sum(rtt[None, None] * h, axis=2)
+        w2 = (a2b[:, :, None, :] * a2b[:, None, :, :]).reshape(
+            n_b * n_u * n_u, n_s)
+        m = jax.lax.dot_general(w2, dt, (((1,), (0,)), ((), ())),
+                                preferred_element_type=state_dt)
+        kc = c * rcp[:, :, None]
+        km = m.reshape(n_b, n_u, n_u, T) * rcp[:, :, None, None]
+        km1 = 1.0 - km[:, :, 0]                           # (B, 1, T)
+        kmn = km[:, :, 0]
+
+        def step_fn(u_t, grad_at):
+            if lagged:
+                return u_t + (kc - kmn * grad_at)
+            return u_t * km1 + kc
+
+        def body(_, carry):
+            u, up, a, l_prev = carry      # u (B, 1, T); a/l_prev (B, 1)
+            a1n, beta = fista_scalars(a, l_prev)
+            u_t = u + beta[:, :, None] * (u - up)
+            u_new = jnp.clip(step_fn(u_t, u if lagged else u_t),
+                             0.0, 1.0)
+            return (u_new, u, a1n, l_w)
+
+        u_in = u_ref[:]
+        up_in = up_ref[:]
+        u, up, _, _ = run_steps((u_in, up_in, a0, l_prev0), body)
+        # freeze converged members in place: keeps the donated buffers
+        # live (an out-of-kernel select would copy the carries)
+        active3 = active2[:, :, None]
+        u = active3 * u + (1.0 - active3) * u_in
+        up = active3 * up + (1.0 - active3) * up_in
+        u_out_ref[:] = u
+        up_out_ref[:] = up
+    else:
+        # GENERAL (n_u >= 2) COMPONENT-LIST path (round 4). The coupled
+        # FISTA step runs on per-component (B, T) blocks: measured 3.6x
+        # faster than slicing a (B, n_u, n_u, T) a4 / broadcasting
+        # (B, 1, T) factors inside the loop (Mosaic emits a relayout per
+        # slice/broadcast per step; with lists everything is sliced
+        # exactly once, outside the loop). All C/M dots are built in
+        # u-major row order so each component block is a CONTIGUOUS
+        # (B, T) row slice of the dot result — no relayout at all.
+        a2_cols = [a2b[:, i, :] for i in range(n_u)]       # (B, n_s)
+        a2_um = jnp.concatenate(a2_cols, axis=0)           # u-major rows
+        c1 = jax.lax.dot_general(a2_um, dy, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=state_dt)
+        if rtt is not None:
+            # c2[(u,b)] = sum_{c,s} (a2[b,u,s] a1[b,c,s]) (d[s] rtt[c]):
+            # ONE dot of a tiny (n_u B, n_ct n_s) weight block against
+            # drt (columns lane-concatenated per c to match drt's
+            # c-major rows — no lane-merging reshape)
+            a1b = a1b_ref[:]
+            wk = jnp.concatenate(
+                [jnp.concatenate(
+                    [a2_cols[i] * a1b[:, cc, :] for i in range(n_u)],
+                    axis=0) for cc in range(n_ct)], axis=1)
+            c2 = jax.lax.dot_general(wk, drt, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=state_dt)
+            cr = c1 - c2
+        else:
+            cr = c1
+        # m[(i,j,b)] = sum_s a2[b,i,s] a2[b,j,s] d[s] — (i,j)-major rows
+        w2_um = jnp.concatenate(
+            [a2_cols[i] * a2_cols[j]
+             for i in range(n_u) for j in range(n_u)], axis=0)
+        m_um = jax.lax.dot_general(w2_um, dt, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=state_dt)
+        # affine-folded step coefficients, one (B, T) block per (i, j):
+        #   a4s[i][j] = delta_ij - m_ij / l_w   (non-lagged; the grad is
+        #   at u_t, so the identity folds into the coupling)
+        #   a4s[i][j] =          - m_ij / l_w   (lagged: grad at u)
+        kcs = [cr[i * n_b:(i + 1) * n_b] * rcp for i in range(n_u)]
+        a4s = []
+        for i in range(n_u):
+            row = []
+            for j in range(n_u):
+                blk = m_um[(i * n_u + j) * n_b:
+                           (i * n_u + j + 1) * n_b] * rcp
+                row.append((1.0 - blk) if (i == j and not lagged)
+                           else -blk)
+            a4s.append(row)
+
+        def body(_, carry):
+            us, ups, a, l_prev = carry
+            a1n, beta = fista_scalars(a, l_prev)
+            uts = [us[v] + beta * (us[v] - ups[v]) for v in range(n_u)]
+            grad = us if lagged else uts
+            new = []
+            for i in range(n_u):
+                acc = (uts[i] + kcs[i]) if lagged else kcs[i]
+                for v in range(n_u):
+                    acc = acc + a4s[i][v] * grad[v]
+                new.append(jnp.clip(acc, 0.0, 1.0))
+            return (tuple(new), us, a1n, l_w)
+
+        us_in = tuple(u_ref[:, i, :] for i in range(n_u))
+        ups_in = tuple(up_ref[:, i, :] for i in range(n_u))
+        us, ups, _, _ = run_steps((us_in, ups_in, a0, l_prev0), body)
+        us = [active2 * un + (1.0 - active2) * ui
+              for un, ui in zip(us, us_in)]
+        ups = [active2 * un + (1.0 - active2) * ui
+               for un, ui in zip(ups, ups_in)]
+        for i in range(n_u):
+            u_out_ref[:, i, :] = us[i]
+            up_out_ref[:, i, :] = ups[i]
 
     # Gram partial sums with each member's (possibly frozen) u. A huge-K
     # (T) contraction with tiny output pays per OUTPUT TILE, so every
@@ -661,16 +733,17 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     # weights (w_ref, the weighted bootstrap's multiplicity vectors) the
     # weight folds into the LHS u rows — every u-involved reduction
     # carries w exactly once, and the FISTA update above stays raw.
-    acc = gu_ref.dtype
+    acc = bu_ref.dtype
     n_ct_loc = rtt.shape[0] if rtt is not None else 0
-    u_rows = u.reshape(n_b * n_u, T).astype(acc)
-    if w_ref is not None:
-        w_b = w_ref[:].astype(acc)                   # (B, T)
-        u_rows_w = (u.astype(acc)
-                    * w_b[:, None, :]).reshape(n_b * n_u, T)
-    else:
-        u_rows_w = u_rows
     if n_u == 1:
+        u3 = u.astype(acc)
+        u_rows = u3.reshape(n_b * n_u, T)
+        if w_ref is not None:
+            w_b = w_ref[:].astype(acc)               # (B, T)
+            u_w3 = u3 * w_b[:, None, :]
+        else:
+            u_w3 = u3
+        u_rows_w = u_w3.reshape(n_b * n_u, T)
         # n_u = 1 closed form needs NO du rows at all:
         #   gu_known[b,s,c] = sum_t w u[b] (d[s] rtt[c])   (wu vs drt)
         #   gu_self[b,s]    = sum_t w u[b]^2 d[s]          (wu*u vs dt)
@@ -704,51 +777,51 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
         bu_part = prod[:n_b, o:o + n_s]                      # (B, n_s)
         usq_part = prod[n_b:, o + 2 * n_s:o + 2 * n_s + 1]   # (B, 1)
     else:
-        # general case: lhs stacks [du-rows; u-rows] (w folded into the
-        # du build and the bu rows); the cross-member (B x B) block of
-        # du.u' is tiny and its diagonal is taken
-        u_w3 = (u.astype(acc) if w_ref is None
-                else u.astype(acc) * w_b[:, None, :])
-        du = (dt.astype(acc).reshape(1, n_s, 1, T)
-              * u_w3.reshape(n_b, 1, n_u, T)).reshape(
-            n_b * n_s * n_u, T)
-        lhs = jnp.concatenate([du, u_rows_w], axis=0)
-        rhs_parts = ([rtt.astype(acc)] if rtt is not None else [])
-        rhs_parts += [u_rows, dy.astype(acc)]
-        rhs = jnp.concatenate(rhs_parts, axis=0)
-        prod = jax.lax.dot_general(
-            lhs, rhs, (((1,), (1,)), ((), ())),
-            preferred_element_type=acc)
-        n_du = n_b * n_s * n_u
-        bu_part = prod[n_du:, n_ct_loc + n_b * n_u:].reshape(
-            n_b, n_u, n_s)
-        usq_part = jnp.sum(u_rows_w * u_rows, axis=1,
-                           keepdims=True).reshape(n_b, n_u)
-        usq_part = jnp.sum(usq_part, axis=1, keepdims=True)  # (B, 1)
-        # member-diagonal extraction of the (n_du, B*n_u) cross block.
-        # NOTE no lane-splitting reshape here: Mosaic cannot lower a
-        # reshape that splits the LANE axis (B*n_u -> (B, n_u)), so the
-        # off-member columns are masked with 2D iotas and collapsed to
-        # n_u columns by one tiny matmul instead.
-        cross_cols = prod[:n_du, n_ct_loc:n_ct_loc + n_b * n_u]
-        row_member = jax.lax.broadcasted_iota(
-            jnp.int32, (n_du, n_b * n_u), 0) // (n_s * n_u)
-        col_member = jax.lax.broadcasted_iota(
-            jnp.int32, (n_du, n_b * n_u), 1) // n_u
-        masked = jnp.where(row_member == col_member, cross_cols, 0.0)
-        collapse = (jax.lax.broadcasted_iota(
-            jnp.int32, (n_b * n_u, n_u), 0) % n_u
-            == jax.lax.broadcasted_iota(
-                jnp.int32, (n_b * n_u, n_u), 1)).astype(acc)
-        gu_self = jax.lax.dot_general(
-            masked, collapse, (((1,), (0,)), ((), ())),
-            preferred_element_type=acc).reshape(n_b, n_s, n_u, n_u)
-        if rtt is not None:
-            gu_known = prod[:n_du, :n_ct_loc].reshape(n_b, n_s, n_u,
-                                                      n_ct_loc)
-            gu_part = jnp.concatenate([gu_known, gu_self], axis=3)
+        # GENERAL case (round 4): no du stack. Every reduction runs from
+        # w-folded u rows (w carried exactly once per product):
+        #   gu_known[b,s,u,c] = sum_t (w u[b,u]) (d[s] rtt[c])
+        #                       -> ONE (B n_u, T) x (T, n_ct n_s) dot
+        #                          against the drt rows built above
+        #   bu[b,u,s]         = sum_t (w u[b,u]) (d[s] y[s])
+        #   gu_self[b,s,u,v]  = sum_t (w u[b,u] u[b,v]) d[s]  and
+        #   usq[b]            = sum_t  w u[b,u]^2
+        #                       -> member-LOCAL pair products (i <= j)
+        #                          stacked by sublane concat, one dot
+        #                          against [dt; ones].
+        # The round-3 form materialized du (B n_s n_u rows, the VMEM
+        # limiter) and paid B x-member MAC waste + iota masking; this is
+        # ~3x fewer MACs and ~8x smaller temporaries. Outputs stay FLAT
+        # 2D in U-MAJOR row order — each row block is a frozen
+        # component list entry, concatenated without relayout; the host
+        # wrapper assembles the public 4D forms (Mosaic has no layout
+        # cast for lane-splitting reshapes).
+        us_acc = [x.astype(acc) for x in us]
+        if w_ref is not None:
+            w_b = w_ref[:].astype(acc)               # (B, T)
+            us_w = [x * w_b for x in us_acc]
         else:
-            gu_part = gu_self
+            us_w = us_acc
+        uw_rows = jnp.concatenate(us_w, axis=0)      # (n_u B, T)
+        pairs = [(i, j) for i in range(n_u) for j in range(i, n_u)]
+        uu = jnp.concatenate(
+            [us_w[i] * us_acc[j] for (i, j) in pairs], axis=0)
+        rhs_su = jnp.concatenate(
+            [dt.astype(acc), jnp.ones((1, T), acc)], axis=0)
+        uu_red = jax.lax.dot_general(
+            uu, rhs_su, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc)            # (P*B, n_s+1)
+        bu_part = jax.lax.dot_general(
+            uw_rows, dy.astype(acc), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc)            # (B n_u, n_s)
+        if rtt is not None:
+            gk_part = jax.lax.dot_general(
+                uw_rows, drt.astype(acc), (((1,), (1,)), ((), ())),
+                preferred_element_type=acc)        # (B n_u, n_ct n_s)
+        # no known block (general unsupervised): gu_ref is a (1, 1)
+        # dummy output — the public gu is assembled host-side from the
+        # pair reductions alone
+        gu_part = gk_part if rtt is not None else jnp.zeros((1, 1), acc)
+        usq_part = uu_red
 
     @pl.when(k == 0)
     def _():
@@ -847,19 +920,27 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
             dt_ref, rtt_ref, w_ref, u_ref, up_ref, *out_refs,
             n_steps=n_steps, n_u=n_u, n_b=n_b, lagged=lagged)
 
+    # flat 2D gram outputs (Mosaic-friendly layouts; see the kernel's
+    # gram branches) — reshaped to the public 4D/3D forms below
+    n_pairs = n_u * (n_u + 1) // 2
     if n_u == 1:
-        # flat 2D gram outputs (Mosaic-friendly layouts; see the kernel's
-        # n_u == 1 branch) — reshaped to the public 4D/3D forms below
         gu_shape = (n_b, n_s * n_ct + n_s)
         bu_shape = (n_b, n_s)
+        usq_shape = (n_b, 1)
     else:
-        gu_shape = (n_b, n_s, n_u, p_r)
-        bu_shape = (n_b, n_u, n_s)
+        gu_shape = ((n_b * n_u, n_ct * n_s) if has_known else (1, 1))
+        bu_shape = (n_b * n_u, n_s)
+        usq_shape = (n_pairs * n_b, n_s + 1)
     out_specs = [lane3, lane3,
                  full_spec(gu_shape),
                  full_spec(bu_shape),
-                 full_spec((n_b, 1))]
+                 full_spec(usq_shape)]
     n_in = len(args)
+    # The runtime's default scoped-VMEM limit is 16 MB (measured: the
+    # real compiler rejects larger stacks; interpret mode cannot catch
+    # it). The general case deliberately runs larger tiles than fit in
+    # 16 MB — raise the per-kernel limit; the budget formulas in
+    # solvers/fused.py keep the actual footprint well under this.
     u_new, up_new, gu, b_u, usq = pl.pallas_call(
         kern,
         grid=grid,
@@ -869,8 +950,10 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
                    jax.ShapeDtypeStruct((n_b, n_u, npad), state_dtype),
                    jax.ShapeDtypeStruct(gu_shape, acc),
                    jax.ShapeDtypeStruct(bu_shape, acc),
-                   jax.ShapeDtypeStruct((n_b, 1), acc)],
+                   jax.ShapeDtypeStruct(usq_shape, acc)],
         input_output_aliases={n_in - 2: 0, n_in - 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2 ** 20),
         interpret=_interpret(),
     )(*args)
     if n_u == 1:
@@ -878,6 +961,30 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
         self_blk = gu[:, n_s * n_ct:].reshape(n_b, n_s, 1, 1)
         gu = jnp.concatenate([known, self_blk], axis=3)
         b_u = b_u.reshape(n_b, 1, n_s)
+        usq = usq[:, 0]
+    else:
+        # assemble the public (B, n_s, n_u, p_r) gu from the flat kernel
+        # outputs: pair reductions (P*B, n_s+1) carry the self block
+        # (cols :n_s, per-sample) and usq (col n_s); the known block
+        # (n_u B, n_ct n_s) has u-major rows and c-major columns
+        pairs = [(i, j) for i in range(n_u) for j in range(i, n_u)]
+        uu3 = usq.reshape(n_pairs, n_b, n_s + 1)
+        gself = jnp.zeros((n_b, n_s, n_u, n_u), acc)
+        usq = jnp.zeros((n_b,), acc)
+        for p_idx, (i, j) in enumerate(pairs):
+            blk = uu3[p_idx, :, :n_s]                      # (B, n_s)
+            gself = gself.at[:, :, i, j].set(blk)
+            if i != j:
+                gself = gself.at[:, :, j, i].set(blk)
+            else:
+                usq = usq + uu3[p_idx, :, n_s]
+        if has_known:
+            gu = jnp.concatenate(
+                [gu.reshape(n_u, n_b, n_ct, n_s).transpose(1, 3, 0, 2),
+                 gself], axis=3)
+        else:
+            gu = gself
+        b_u = b_u.reshape(n_u, n_b, n_s).transpose(1, 0, 2)
 
     def scal_body(_, carry):
         a, l_prev = carry
@@ -890,4 +997,4 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
     a_new = act * a_adv + (1.0 - act) * a_vec
     l_w_prev_new = act * l_w_prev_adv + (1.0 - act) * l_w_prev_vec
     return (u_new[:, :, :n], up_new[:, :, :n], a_new, l_w_prev_new,
-            gu, b_u, usq[:, 0])
+            gu, b_u, usq)

@@ -575,28 +575,61 @@ def _purity_multi_sharded_fn(mesh, n_u, n_iter1, n_iter2, tol,
 # executed iterations.
 # ---------------------------------------------------------------------------
 
+# Fingerprint of ops/pallas_kernels._u_phase_grams_multi_kernel's SOURCE.
+# _multi_bytes_per_lane below models that kernel's VMEM temporaries; a
+# kernel-dataflow edit silently invalidates the model, and the real
+# compiler (scoped-VMEM OOM) is the only thing that would catch it.
+# tests/test_pallas.py::TestMultiVmemBudget fails when the kernel
+# changes without this line being touched: re-derive the byte formula,
+# re-run `timeout 3000 python tools/tpu_compile_smoke.py` (10/10 OK),
+# then update the hash.
+_MULTI_KERNEL_SRC_SHA1 = "ad0590f5a61d"
+
+
 def _multi_bytes_per_lane(n_b: int, n_u: int, n_s: int, n_ct: int,
                           itemsize: int, weighted: bool) -> int:
     """Per-lane VMEM footprint of the multi-member megakernel: IO blocks,
     per-member C / curvature rows, FISTA carries, and the Gram-section
-    temporaries. The Gram section differs sharply by dataflow: the
-    n_u == 1 closed form stacks ~4 B-row vectors; the general case
-    materializes du (B*n_s*n_u rows) PLUS its concatenated lhs copy."""
-    common = (2 * (2 * n_s + n_ct + 4 * n_b * n_u)  # IO, double-buffered
-              + 2 * n_s                             # dy / dresid
-              + n_b * n_u + n_b * n_u * n_u         # kc / km
-              + 4 * n_b * n_u)                      # FISTA carries
+    temporaries. Terms mirror the kernel's named temporaries
+    (ops/pallas_kernels._u_phase_grams_multi_kernel); update BOTH when
+    changing a kernel dataflow (tests/test_pallas.py pins consistency).
+    The n_u == 1 closed form is the round-3 layout (kept verbatim — its
+    tile is perf-tuned); the general case is the round-4 rework: drt
+    rows replace the h temporary and pair products replace the du stack,
+    so the footprint stops scaling with B*n_s*n_u."""
     if n_u == 1:
-        gram = 4 * n_b + n_s * n_ct + 2 * n_s + 1   # lhs stack + rhs
-    else:
-        gram = (2 * n_b * n_s * n_u                 # du + lhs copy
-                + 3 * n_b * n_u                     # u_rows/u_w3/lhs tail
-                + n_ct + n_b * n_u + n_s)           # rhs
-    w_rows = (3 * n_b if weighted else 0)           # w blocks + w*u rows
-    return itemsize * (common + gram + w_rows)
+        common = (2 * (2 * n_s + n_ct + 4 * n_b * n_u)  # IO, dbl-buf
+                  + 2 * n_s                             # dy / dresid
+                  + n_b * n_u + n_b * n_u * n_u         # kc / km
+                  + 4 * n_b * n_u)                      # FISTA carries
+        gram = 4 * n_b + n_s * n_ct + 2 * n_s + 1       # lhs stack + rhs
+        w_rows = (3 * n_b if weighted else 0)           # w + w*u rows
+        return itemsize * (common + gram + w_rows)
+    rows = (2 * (2 * n_s + n_ct + 4 * n_b * n_u         # IO, dbl-buf
+                 + (n_b if weighted else 0))            # w blocks
+            + n_s                                       # dy
+            + n_ct * n_s                                # drt
+            + 3 * n_b * n_u                             # c1/c2 -> c/kc
+            + 2 * n_b * n_u * n_u                       # m -> a4
+            + 4 * n_b * n_u                             # u/up/u_t/acc
+            + 2 * n_b * n_u                             # u3 / u_w3
+            + n_b * n_u * (n_u + 1) // 2                # uu pair rows
+            + n_s + 1)                                  # rhs_su
+    return itemsize * rows
 
 
 _MULTI_VMEM_BUDGET = 10 * 2 ** 20
+# The general (n_u >= 2) kernel gets a larger budget: its footprint is
+# dominated by the unavoidable per-member IO and a4 curvature rows, so
+# the 10 MiB budget (tuned for the n_u = 1 closed form's tile) floors
+# the tile at 1024 and the ~1000-step grid's fixed costs dominate.
+# 40 MiB (~⅓ of v5e VMEM incl. Mosaic's own buffers) verified to lower
+# and run on hardware (tools/tpu_compile_smoke.py).
+_MULTI_VMEM_BUDGET_GENERAL = 40 * 2 ** 20
+
+
+def _multi_budget(n_u: int) -> int:
+    return _MULTI_VMEM_BUDGET if n_u == 1 else _MULTI_VMEM_BUDGET_GENERAL
 
 
 def auto_tile_multi(n_b: int, n_u: int, n_s: int, n_ct: int = 0,
@@ -606,7 +639,7 @@ def auto_tile_multi(n_b: int, n_u: int, n_s: int, n_ct: int = 0,
     footprint alone exceeds budget/1024 the launch will overrun VMEM —
     cap the member count first (max_multi_members)."""
     bpl = _multi_bytes_per_lane(n_b, n_u, n_s, n_ct, itemsize, weighted)
-    tile = (_MULTI_VMEM_BUDGET // max(bpl, 1) // 1024) * 1024
+    tile = (_multi_budget(n_u) // max(bpl, 1) // 1024) * 1024
     return int(max(1024, min(MEGA_TILE, tile)))
 
 
@@ -615,7 +648,7 @@ def max_multi_members(n_u: int, n_s: int, n_ct: int = 0,
     """Largest member count whose kernel fits the VMEM budget at the
     minimum (1024) lane tile — callers batching replicates/restarts
     through the multi megakernel chunk to this."""
-    limit = _MULTI_VMEM_BUDGET // 1024
+    limit = _multi_budget(n_u) // 1024
     n_b = 1
     while (n_b < 4096 and _multi_bytes_per_lane(
             2 * n_b, n_u, n_s, n_ct, itemsize, weighted) <= limit):

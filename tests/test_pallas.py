@@ -397,7 +397,7 @@ class TestFusedMultiRestart:
 class TestMultiVmemBudget:
     def test_member_cap_respects_budget(self):
         from demethify_tpu.solvers.fused import (
-            _MULTI_VMEM_BUDGET,
+            _multi_budget,
             _multi_bytes_per_lane,
             max_multi_members,
         )
@@ -406,16 +406,35 @@ class TestMultiVmemBudget:
                                          (3, 6, 4, True), (5, 10, 5, False)]:
             cap = max_multi_members(n_u, n_s, n_ct, weighted=weighted)
             assert cap >= 1
-            limit = _MULTI_VMEM_BUDGET // 1024
+            limit = _multi_budget(n_u) // 1024
             assert _multi_bytes_per_lane(cap, n_u, n_s, n_ct, 4,
                                          weighted) <= limit
             if cap < 4096:
                 assert _multi_bytes_per_lane(cap + 1, n_u, n_s, n_ct, 4,
                                              weighted) > limit
 
+    def test_budget_formula_in_sync_with_kernel_source(self):
+        # _multi_bytes_per_lane models the kernel's VMEM temporaries; a
+        # kernel edit that doesn't re-derive the formula (and re-run the
+        # hardware compile smoke) must fail loudly HERE instead of as a
+        # scoped-VMEM OOM that only the real TPU compiler reports.
+        import hashlib
+        import inspect
+
+        from demethify_tpu.ops import pallas_kernels
+        from demethify_tpu.solvers.fused import _MULTI_KERNEL_SRC_SHA1
+
+        src = inspect.getsource(
+            pallas_kernels._u_phase_grams_multi_kernel)
+        assert hashlib.sha1(src.encode()).hexdigest()[:12] == (
+            _MULTI_KERNEL_SRC_SHA1), (
+            "the multi megakernel source changed: re-derive "
+            "_multi_bytes_per_lane, re-run tools/tpu_compile_smoke.py "
+            "on hardware, then update _MULTI_KERNEL_SRC_SHA1")
+
     def test_auto_tile_multi_within_budget(self):
         from demethify_tpu.solvers.fused import (
-            _MULTI_VMEM_BUDGET,
+            _multi_budget,
             _multi_bytes_per_lane,
             auto_tile_multi,
         )
@@ -424,7 +443,7 @@ class TestMultiVmemBudget:
             tile = auto_tile_multi(n_b, n_u, 10, 5, weighted=True)
             if tile > 1024:   # above the floor the tile must fit
                 assert (_multi_bytes_per_lane(n_b, n_u, 10, 5, 4, True)
-                        * tile <= _MULTI_VMEM_BUDGET)
+                        * tile <= _multi_budget(n_u))
 
 
 def test_unsupervised_multi_nu1_matches_vmapped(small_problem):
