@@ -280,8 +280,27 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
                     return u_t + (kc8 - kmn * grad_at)
                 return u_t * km1 + kc8
         else:
-            def step_fn(u_t, grad_at):
-                return u_t + (kc8 - jnp.sum(km8 * grad_at[None], axis=1))
+            # COMPONENT-LIST coupled step (round 4, mirrors the multi
+            # kernel): the (n_u, n_u, SUB, Tf) coefficient array is
+            # sliced ONCE into affine-folded (SUB, Tf) blocks
+            # (a4 = delta - km) — slicing/broadcasting it inside the
+            # unrolled loop makes Mosaic emit a relayout per step
+            # (measured 3.6x on the multi form of the same step).
+            kcs = [kc8[i] for i in range(n_u)]
+            a4s = [[(1.0 - km8[i, j]) if (i == j and not lagged)
+                    else -km8[i, j] for j in range(n_u)]
+                   for i in range(n_u)]
+
+            def step_lists(uts, grad):
+                new = []
+                for i in range(n_u):
+                    acc = (uts[i] + kcs[i]) if lagged else kcs[i]
+                    for v in range(n_u):
+                        acc = acc + a4s[i][v] * grad[v]
+                    new.append(jnp.clip(acc, 0.0, 1.0))
+                return new
+
+            step_fn = step_lists
 
         fold = lambda x: x.reshape(n_u, SUB, Tf)        # noqa: E731
         unfold = lambda x: x.reshape(n_u, T)            # noqa: E731
@@ -300,22 +319,43 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
 
         fold = unfold = lambda x: x                      # noqa: E731
 
-    def body(_, carry):
-        u, up, a, l_prev = carry
-        a0 = a
-        a1n = (1.0 + jnp.sqrt(1.0 + 4.0 * a0 * a0)) / 2.0
-        beta = jnp.minimum((a0 - 1.0) / a1n,
+    component_lists = use_gram and n_u >= 2
+
+    def scalars(a, l_prev):
+        a1n = (1.0 + jnp.sqrt(1.0 + 4.0 * a * a)) / 2.0
+        beta = jnp.minimum((a - 1.0) / a1n,
                            0.9999 * jnp.sqrt(l_prev / l_w))
-        u_t = u + beta * (u - up)
-        u_new = jnp.clip(step_fn(u_t, u if lagged else u_t), 0.0, 1.0)
-        return (u_new, u, a1n, l_w)
+        return a1n, beta
+
+    if component_lists:
+        def body(_, carry):
+            us, ups, a, l_prev = carry
+            a1n, beta = scalars(a, l_prev)
+            uts = [us[v] + beta * (us[v] - ups[v]) for v in range(n_u)]
+            new = step_fn(uts, us if lagged else uts)
+            return (tuple(new), us, a1n, l_w)
+    else:
+        def body(_, carry):
+            u, up, a, l_prev = carry
+            a1n, beta = scalars(a, l_prev)
+            u_t = u + beta * (u - up)
+            u_new = jnp.clip(step_fn(u_t, u if lagged else u_t),
+                             0.0, 1.0)
+            return (u_new, u, a1n, l_w)
 
     # UNROLLED when small: each step's momentum scalar (sqrt/min) is a
     # serial scalar-unit chain; unrolling lets Mosaic hoist the whole
     # scalar sequence and keep the VPU busy (mirrors ops/fista._run_steps).
     # Long schedules (purity: 500) unroll in chunks inside the fori_loop
     # (Mosaic's scan lowering only supports unroll=1, so chunk manually).
-    carry = (fold(u_ref[:]), fold(up_ref[:]), a0_init, l_w_prev0)
+    if component_lists:
+        u8 = fold(u_ref[:])
+        up8 = fold(up_ref[:])
+        carry = (tuple(u8[i] for i in range(n_u)),
+                 tuple(up8[i] for i in range(n_u)),
+                 a0_init, l_w_prev0)
+    else:
+        carry = (fold(u_ref[:]), fold(up_ref[:]), a0_init, l_w_prev0)
     if n_steps <= 64:
         for _ in range(n_steps):
             carry = body(None, carry)
@@ -332,6 +372,9 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
 
         u, up, _, _ = jax.lax.fori_loop(0, n_steps // chunk, chunk_body,
                                         carry)
+    if component_lists:
+        u = jnp.concatenate([x[None] for x in u], axis=0)
+        up = jnp.concatenate([x[None] for x in up], axis=0)
     u = unfold(u)
     up = unfold(up)
     u_out_ref[:] = u
@@ -450,6 +493,10 @@ def u_phase_grams(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
                    jax.ShapeDtypeStruct((n_u, n_s), acc),
                    jax.ShapeDtypeStruct((1, 1), acc)],
         input_output_aliases={n_in - 2: 0, n_in - 1: 1},
+        # raise the 16 MB default scoped-VMEM limit (see the multi
+        # kernel's call site) — tiles beyond ~24k lanes exceed it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2 ** 20),
         interpret=_interpret(),
     )(*args)
 

@@ -55,6 +55,13 @@ def _axis_max(x, axis_name):
     return x if axis_name is None else jax.lax.pmax(x, axis_name)
 
 
+# Source fingerprint of ops/pallas_kernels._u_phase_grams_kernel — same
+# tripwire contract as _MULTI_KERNEL_SRC_SHA1 below: auto_tile models
+# that kernel's VMEM temporaries, so a kernel edit must re-derive the
+# formula, re-run the hardware compile smoke, and touch this line.
+_MEGA_KERNEL_SRC_SHA1 = "edc7a819677b"
+
+
 def auto_tile(n_u: int, n_s: int, n_ct: int = 0,
               itemsize: int = 4) -> int:
     """Largest lane tile whose per-step VMEM footprint stays within

@@ -422,15 +422,22 @@ class TestMultiVmemBudget:
         import inspect
 
         from demethify_tpu.ops import pallas_kernels
-        from demethify_tpu.solvers.fused import _MULTI_KERNEL_SRC_SHA1
+        from demethify_tpu.solvers.fused import (
+            _MEGA_KERNEL_SRC_SHA1,
+            _MULTI_KERNEL_SRC_SHA1,
+        )
 
-        src = inspect.getsource(
-            pallas_kernels._u_phase_grams_multi_kernel)
-        assert hashlib.sha1(src.encode()).hexdigest()[:12] == (
-            _MULTI_KERNEL_SRC_SHA1), (
-            "the multi megakernel source changed: re-derive "
-            "_multi_bytes_per_lane, re-run tools/tpu_compile_smoke.py "
-            "on hardware, then update _MULTI_KERNEL_SRC_SHA1")
+        for kern, want, budget_name in [
+                (pallas_kernels._u_phase_grams_multi_kernel,
+                 _MULTI_KERNEL_SRC_SHA1, "_multi_bytes_per_lane"),
+                (pallas_kernels._u_phase_grams_kernel,
+                 _MEGA_KERNEL_SRC_SHA1, "auto_tile")]:
+            src = inspect.getsource(kern)
+            assert hashlib.sha1(src.encode()).hexdigest()[:12] == want, (
+                f"{kern.__name__} source changed: re-derive "
+                f"{budget_name}, re-run tools/tpu_compile_smoke.py on "
+                "hardware, then update the SHA1 constant in "
+                "solvers/fused.py")
 
     def test_auto_tile_multi_within_budget(self):
         from demethify_tpu.solvers.fused import (

@@ -88,8 +88,9 @@ def main(out_path=None):
     emit("multi-restart megakernel, 1M sites, B=16, n_u=1",
          ms / it1 / B, "ms/outer-iter/restart")
 
-    # 4. GENERAL-case multi megakernel, n_u = 4, B = 16 (member-chunked
-    # grid + per-sample gram loop + affine-folded step, round 4)
+    # 4. GENERAL-case multi megakernel, n_u = 4, B = 16 (round-4
+    # rework: component-list FISTA, pair-product grams, raised
+    # scoped-VMEM limit — see ROADMAP.md)
     n_u4 = 4
     u0_b4, a0_b4 = _restart_batch(rng, n_cpg, n_s, n_ct + n_u4, n_u4, B)
     it1 = 10

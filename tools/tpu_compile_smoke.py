@@ -6,7 +6,7 @@ found three kernel paths that had never compiled on hardware (a
 lane-splitting reshape, <8-member batches on the n_u=1 closed form, a
 zero-width concat at n_ct=0). Run this after ANY change to a kernel
 dataflow: `timeout 3000 python tools/tpu_compile_smoke.py`. Expect
-10/10 "OK"; each fresh HLO costs 10-600 s on the remote compiler."""
+13/13 "OK"; each fresh HLO costs 10-600 s on the remote compiler."""
 import sys
 import os as _os
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -44,6 +44,20 @@ def check(name, fn):
     except Exception as e:
         print(f"{name}: FAIL {type(e).__name__}: {str(e)[:200]}",
               flush=True)
+
+# SINGLE-member kernel general paths (restart=1 / deterministic-init
+# solves route here): gram-form coupled step at n_u=2 (component
+# lists), lagged gram form, and the direct dataflow (n_u^2 > 3 n_s)
+y1, d1, Rt1, u01, a01, au1, _ = mk(2)
+check("single partial n_u=2", lambda: fused.partial_ref_solve_fused(
+    u01[0], a01[0], y1, d1, Rt1, 2, n_iter1=2, n_iter2=3, tol=0.0))
+check("single unsup lagged n_u=2",
+      lambda: fused.unsupervised_solve_fused(
+          u01[0], au1[0], y1, d1, 2, n_iter1=2, n_iter2=3, tol=0.0))
+y5, d5, Rt5, u05, a05, au5, _ = mk(5)
+check("single unsup direct n_u=5",
+      lambda: fused.unsupervised_solve_fused(
+          u05[0], au5[0], y5, d5, 5, n_iter1=2, n_iter2=3, tol=0.0))
 
 for n_u in (1, 2):
     y, d, Rt, u0, a0, au, w = mk(n_u)
