@@ -17,11 +17,22 @@ timed on a subset of iterations and scaled.
 
 Prints ONE JSON line:
   metric     = CpG-site-iterations/s/chip in the solver loop
-  value      = n_cpg * n_outer / t_device
+  value      = n_cpg * n_outer / t_device   (median of REPS runs)
   vs_baseline= CPU-reference-seconds / device-seconds  (same workload)
+plus calibration fields: per-run seconds (spread), and the SAME-SESSION
+achieved HBM bandwidth. The flagship megakernel is HBM-bound, so its
+ms/iter scales with whatever bandwidth the session's tunneled chip
+actually delivers — measured to vary ~20% between sessions on
+byte-identical code (round 4's "18% regression": device time 0.1907 ->
+0.2338 ms/iter across sessions while achieved stream bandwidth moved
+819-level -> 672 GB/s; 0.1907 x 819/672 = 0.2324, i.e. the kernel
+tracks delivered bandwidth almost exactly). `value_per_gbs` is the
+bandwidth-normalized throughput — the number to compare across rounds.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -61,7 +72,11 @@ def numpy_reference_seconds(y, d, Rt, u0, a0):
     return el * (N_OUTER / BASELINE_OUTER)
 
 
+REPS = 5
+
+
 def device_seconds(y, d, Rt, u0, a0):
+    """Returns (median_seconds, all_rep_seconds)."""
     import jax
 
     from demethify_tpu.solvers.fused import partial_ref_solve_fused
@@ -79,11 +94,28 @@ def device_seconds(y, d, Rt, u0, a0):
 
     run()  # compile + warm
     times = []
-    for _ in range(3):
+    for _ in range(REPS):
         t = time.time()
         run()
         times.append(time.time() - t)
-    return min(times)
+    return float(np.median(times)), times
+
+
+def session_hbm_gbs():
+    """Same-session achieved HBM streaming bandwidth (tools/hbm_calibrate);
+    None off-TPU or if the probe fails."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from hbm_calibrate import measured_bandwidth_gbs
+
+        return round(measured_bandwidth_gbs(), 1)
+    except Exception:
+        return None
 
 
 def _enable_compile_cache():
@@ -98,15 +130,24 @@ def main():
     _enable_compile_cache()
     y, d, Rt, u0, a0 = make_problem()
     t_cpu = numpy_reference_seconds(y, d, Rt, u0, a0)
-    t_dev = device_seconds(y, d, Rt, u0, a0)
+    t_dev, reps = device_seconds(y, d, Rt, u0, a0)
+    hbm = session_hbm_gbs()
     sites_per_s = N_CPG * N_OUTER / t_dev
-    print(json.dumps({
+    out = {
         "metric": "CpG-site-iterations/s/chip (partial-ref solver loop, "
                   "1M sites x 10 samples, 1000x20 iters)",
         "value": round(sites_per_s, 1),
         "unit": "site-iters/s",
         "vs_baseline": round(t_cpu / t_dev, 2),
-    }))
+        "rep_seconds": [round(t, 4) for t in reps],
+        "hbm_gbs": hbm,
+    }
+    if hbm:
+        # bandwidth-normalized throughput: the cross-session comparable
+        # number (the kernel is HBM-bound; the tunnel attaches chips
+        # whose delivered stream bandwidth varies ~20% session-to-session)
+        out["value_per_gbs"] = round(sites_per_s / hbm / 1e6, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
