@@ -72,14 +72,30 @@ def write_ci_proportions(outdir: str, lower: np.ndarray, upper: np.ndarray,
 
 
 def write_ci_profile(outdir: str, lower: np.ndarray, upper: np.ndarray,
-                     unknown_header: Sequence[str]) -> pd.DataFrame:
+                     unknown_header: Sequence[str]) -> str:
     """`confidence_interval_methylation_estimate.csv` (reference
-    `bootstrap.py:80-89`). lower/upper: (n_cpg, n_u)."""
-    data = {}
-    for k, name in enumerate(unknown_header):
-        data[name] = [(float(lower[j, k]), float(upper[j, k]))
-                      for j in range(lower.shape[0])]
-    df = pd.DataFrame(data)
-    df.to_csv(os.path.join(
-        outdir, "confidence_interval_methylation_estimate.csv"), index=False)
-    return df
+    `bootstrap.py:80-89`). lower/upper: (n_cpg, n_u). Returns the path.
+
+    This is the genome-scale CI output (n_cpg rows), so the cells are
+    assembled as strings directly instead of routing n_cpg x n_u Python
+    tuple objects through a DataFrame (pandas re-reprs every tuple cell
+    and re-applies csv quoting — minutes at 1M rows). Cell text is
+    byte-identical to pandas' rendering of ``(float(lo), float(hi))``:
+    ``"(repr(lo), repr(hi))"`` with the csv QUOTE_MINIMAL double quotes
+    that the embedded comma forces."""
+    # .tolist() yields builtin floats, whose repr is the shortest
+    # round-trip form str(tuple) would have printed (np.float64's repr
+    # differs under numpy>=2)
+    lo_cols = np.asarray(lower, np.float64).T.tolist()
+    hi_cols = np.asarray(upper, np.float64).T.tolist()
+    col_cells = [
+        [f'"({a!r}, {b!r})"' for a, b in zip(cl, ch)]
+        for cl, ch in zip(lo_cols, hi_cols)]
+    path = os.path.join(outdir,
+                        "confidence_interval_methylation_estimate.csv")
+    with open(path, "w") as f:
+        f.write(",".join(unknown_header))
+        f.write("\n")
+        f.write("\n".join(",".join(row) for row in zip(*col_cells)))
+        f.write("\n")
+    return path

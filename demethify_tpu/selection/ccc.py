@@ -26,10 +26,11 @@ def compute_consensus_matrix(alpha_runs: Sequence[np.ndarray]) -> np.ndarray:
     n_s = np.asarray(alpha_runs[0]).shape[1]
     if n_s > _SIZE_WARN_SAMPLES:
         logging.getLogger("demethify").warning(
-            "CCC consensus over %d samples builds an O(n_samples^2) "
-            "host matrix per restart run (%.1f GB total here) and a "
-            "host scipy hierarchy — consider AIC/BIC for sample counts "
-            "this large.", n_s, n_s * n_s * 8 / 1e9)
+            "CCC consensus over %d samples builds O(n_samples^2) host "
+            "matrices (%.1f GB per n_s x n_s float64 matrix; peak ~2-3x "
+            "that with the accumulator, per-run coassignment, and scipy "
+            "pdist/linkage temporaries) — consider AIC/BIC for sample "
+            "counts this large.", n_s, n_s * n_s * 8 / 1e9)
     acc = None
     for alpha in alpha_runs:
         assign = np.argmax(np.asarray(alpha), axis=0)

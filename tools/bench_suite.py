@@ -147,7 +147,34 @@ def main(out_path=None):
     emit("partial-ref megakernel, 10M sites", ms / it1, "ms/outer-iter",
          site_iters_per_s=round(n10 * it1 / (ms / 1e3), 1))
 
-    # 8. warm compile-once AIC sweep on the fixture-scale workload
+    # 8. supervised (reference-based WLS) path: all 10 samples' weighted
+    # NNLS-with-intercept at 1M sites in one batched dispatch
+    # (ops/nnls.wls_intercept_batch; reference loops sklearn per sample,
+    # `demethify/demethify.py:209-213` — 5.1 ms for 350 sites)
+    from demethify_tpu.ops.nnls import wls_intercept_batch
+
+    wls = jax.jit(lambda: wls_intercept_batch(dj * yj, dj, Rtj))
+    ms, _ = device_ms("/tmp/bsuite_sup", lambda: float(
+        jnp.sum(wls())))
+    emit("supervised WLS (NNLS+intercept), 1M sites x 10 samples",
+         ms, "ms/solve")
+
+    # 9. genome-scale CI writer: 1M x 2 "(lo, hi)" cells to CSV
+    # (io/writers.write_ci_profile vectorized string assembly — host)
+    import tempfile
+
+    from demethify_tpu.io.writers import write_ci_profile
+
+    lo = rng.uniform(size=(n_cpg, 2))
+    hi = lo + rng.uniform(size=(n_cpg, 2))
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        write_ci_profile(td, lo, hi, ["unknown_cell_1",
+                                      "unknown_cell_2"])
+        emit("CI profile writer, 1M rows x 2 unknowns",
+             time.time() - t0, "s")
+
+    # 10. warm compile-once AIC sweep on the fixture-scale workload
     # (350 x 10, 5 known cell types — the reference took 6.95 s)
     from demethify_tpu.selection.batched_sweep import evaluate_ic_batched
 
