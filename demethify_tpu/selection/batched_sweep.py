@@ -464,19 +464,28 @@ def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
     masks = _member_masks(n_ct, n_u_max)
     k_folds, k_init = jax.random.split(key)
     # 'uniform' with a reference initializes alpha by WLS on the (masked)
-    # data, so its inits are per-fold like the serial path's
-    # (bcv.py: k_init drawn per fold, init on y_tr); the data-independent
-    # options draw once.
-    data_dependent = init_option == "uniform" and ref is not None
+    # data, and SVD/ICA factor the masked data directly, so their inits
+    # are per-fold like the serial path's (bcv.py: k_init drawn per fold,
+    # init on y_tr); the data-independent options draw once. For SVD/ICA
+    # the per-fold init is small fresh HLO (one NNDSVD / per-rank ICA);
+    # the expensive masked SOLVE still compiles exactly once — vs
+    # n_u_max shape-specialized solver compiles on the serial path
+    # (200-500 s each on this remote-compile runtime).
+    data_dependent = ((init_option == "uniform" and ref is not None)
+                      or init_option not in RANDOM_INITS)
     if not data_dependent:
         keys = jax.random.split(k_init, n_u_max)
         u0_b, a0_b = _masked_init_batch(keys, init_option, y, d, ref,
                                         n_ct, n_u_max, masks)
-    else:
+    elif init_option in RANDOM_INITS:
         @jax.jit
         def init_fold(y_tr, d_tr, ks):
             return _masked_init_batch(ks, init_option, y_tr, d_tr, ref,
                                       n_ct, n_u_max, masks)
+    else:                                   # SVD / ICA (deterministic)
+        def init_fold_det(y_tr, d_tr, kf):
+            return _padded_init_batch(y_tr, d_tr, ref, init_option,
+                                      n_u_max, kf, masks)
 
     if ref is not None:
         ref_j = jnp.asarray(ref)
@@ -516,9 +525,12 @@ def batched_bcv_sweep(y, d, ref, *, n_u_max: int, n_folds: int, key,
             continue
         y_tr, d_tr = y * train_mask, d * train_mask
         if data_dependent:
-            ks = jax.random.split(jax.random.fold_in(k_init, fold),
-                                  n_u_max)
-            u0_b, a0_b = init_fold(y_tr, d_tr, ks)
+            kf_init = jax.random.fold_in(k_init, fold)
+            if init_option in RANDOM_INITS:
+                ks = jax.random.split(kf_init, n_u_max)
+                u0_b, a0_b = init_fold(y_tr, d_tr, ks)
+            else:
+                u0_b, a0_b = init_fold_det(y_tr, d_tr, kf_init)
         u_b, alpha_b, _ = solve_all_ranks(y_tr, d_tr, u0_b, a0_b)
         for i in range(n_u_max):
             if ref is not None:

@@ -197,14 +197,17 @@ def evaluate_best_ic(y, d, ref, init_option: str, ic: str, *,
 
     random_inits = ("uniform_", "beta", "uniform")
     batched_inits = random_inits + ("SVD", "ICA")
-    if ((init_option in random_inits and ic in ("CCC", "BCV"))
-            or (init_option in batched_inits and ic in ("AIC", "BIC"))):
+    if ((init_option in random_inits and ic == "CCC")
+            or (init_option in batched_inits and ic in ("AIC", "BIC",
+                                                        "BCV"))):
         # compile-once padded sweeps: every rank (x restart/fold) solved
         # under ONE solver compilation (selection/batched_sweep.py) — vs
         # n_u_max separate shape-specialized compiles. SVD/ICA inits are
         # deterministic, so their AIC/BIC sweep members equal the
-        # per-rank solves exactly (CCC/BCV with deterministic inits are
-        # degenerate — identical restarts — and keep the serial path).
+        # per-rank solves exactly; their BCV members init per fold on the
+        # masked data (serial-path semantics). CCC with deterministic
+        # inits is degenerate — identical restarts — and keeps the
+        # serial path.
         from demethify_tpu.selection import batched_sweep as bs
 
         if ic in ("AIC", "BIC"):

@@ -344,6 +344,63 @@ class TestRandomInitSweep:
         assert len(press) == 2
         assert all(np.isfinite(v) for v in press)
 
+    def test_bcv_svd_matches_per_rank(self, small_problem):
+        """BCV with the deterministic SVD init through the compile-once
+        path: per-fold PRESS must equal a serial per-rank evaluation
+        that uses the SAME fold masks and the per-fold SVD init on the
+        masked data (init_partial at the true rank — the padded batch's
+        shared NNDSVD truncation must reproduce it)."""
+        from demethify_tpu.selection.batched_sweep import batched_bcv_sweep
+        from demethify_tpu.solvers.init import init_partial
+
+        p = small_problem
+        y, d = jnp.asarray(p["y"]), jnp.asarray(p["d"])
+        ref = jnp.asarray(p["R_trunc"])
+        n_ct = ref.shape[1]
+        n_u_max, n_folds = 3, 2
+        key = jax.random.PRNGKey(11)
+        kw = dict(iter1=8, iter2=4, tol=1e-9)
+
+        u, alpha, n_u, press = batched_bcv_sweep(
+            y, d, ref, n_u_max=n_u_max, n_folds=n_folds, key=key,
+            init_option="SVD", **kw)
+
+        # serial reference with identical fold masks + per-fold SVD init
+        k_folds, k_init = jax.random.split(key)
+        want = np.zeros(n_u_max)
+        for fold in range(n_folds):
+            kf = jax.random.fold_in(k_folds, fold)
+            train = jax.random.uniform(kf, y.shape) < 0.3
+            test = ~train
+            n_test = float(jnp.sum(test))
+            y_tr, d_tr = y * train, d * train
+            for r in range(1, n_u_max + 1):
+                u0, a0 = init_partial(
+                    jax.random.fold_in(k_init, fold), "SVD", y_tr, d_tr,
+                    ref, r)
+                u_r, a_r, _ = partial_ref_solve(
+                    u0, a0, y_tr, d_tr, ref, r, n_iter1=kw["iter1"],
+                    n_iter2=kw["iter2"], tol=kw["tol"])
+                R = jnp.concatenate([ref, u_r], axis=1)
+                err = float(jnp.sum(((y - R @ a_r) * test) ** 2)) / n_test
+                want[r - 1] += err
+        np.testing.assert_allclose(press, want, rtol=1e-6)
+
+    def test_sweep_dispatches_batched_bcv_svd(self, small_problem,
+                                              monkeypatch):
+        """--ic BCV --init SVD must take the compile-once path."""
+        from demethify_tpu.selection import sweep
+
+        def boom(*a, **k):
+            raise AssertionError("serial per-rank path taken")
+
+        monkeypatch.setattr(sweep, "_rank_criterion", boom)
+        p = small_problem
+        u, alpha, n_u, ics = sweep.evaluate_best_ic(
+            p["y"], p["d"], p["R_trunc"], "SVD", "BCV",
+            iter1=6, iter2=3, tol=1e-6, n_restarts=2, n_u_max=2)
+        assert len(ics) == 2 and all(np.isfinite(v) for v in ics)
+
 
 class TestMemberChunking:
     """Large --icmax sweeps must chunk the member axis (bounded memory,
