@@ -113,9 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
                              'replicate copies of (Y, D, R); "weights" '
                              'solves the equivalent row-multiplicity '
                              'problem with zero data duplication '
-                             '(genome-scale CIs); "auto" switches to '
-                             'weights on large inputs when the init has '
-                             'a weighted form')
+                             '(genome-scale CIs; SVD/ICA inits are '
+                             'computed once on the full data and shared '
+                             'across replicates); "auto" switches to '
+                             'weights on large inputs')
     parser.add_argument('--trace', action='store_true',
                         help='Record and write the solver cost trajectory '
                              'to <outdir>/cost_trajectory.csv')

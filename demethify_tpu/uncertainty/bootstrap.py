@@ -31,6 +31,11 @@ from a resample (w=0) still carry their alpha-conditional estimate, so
 weighted u CIs are indexed by ORIGINAL row (resample mode's u CIs are
 per resampled position, matching the reference's convention).
 
+Deterministic inits (SVD/ICA) in weights mode use the SHARED-INIT form:
+one init on the full data, shared by all replicates (see
+_SHARED_INIT_WEIGHTABLE) — the only layout that avoids materializing B
+resampled matrices for the per-replicate factorization at genome scale.
+
 Deliberate divergence (documented): when `--purity` is active the reference
 bootstrap scales by p/100 while the main path uses 1 - p/100
 (`bootstrap.py:18` vs `demethify.py:77`) — i.e. it bootstraps a different
@@ -51,19 +56,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# init options whose weighted form is exact: data-independent draws, or
-# 'uniform' whose WLS becomes a w-weighted WLS. SVD/ICA need the actual
-# resampled matrix (no weighted form) -> resample mode.
+# init options whose weighted form is EXACT (same distribution as the
+# gathered resample): data-independent draws, or 'uniform' whose WLS
+# becomes a w-weighted WLS. SVD/ICA instead use the SHARED-INIT weighted
+# form: the deterministic init is computed ONCE on the full data and
+# every replicate solves its row-multiplicity problem from it. The
+# reference re-inits on each resampled matrix (`bootstrap.py:30-36`), so
+# shared-init CIs reflect solve-under-resampling variability only — the
+# same class of freedom as the init-RNG divergence documented above
+# (and the only tractable layout at genome scale, where materializing B
+# resampled copies for the SVD is exactly what weights mode exists to
+# avoid).
 _WEIGHTABLE_INITS = ("uniform_", "beta", "uniform")
+_SHARED_INIT_WEIGHTABLE = ("SVD", "ICA")
 
 
 def resolve_method(method: str, init_option: str, n_elems: int) -> str:
     """Resolve "auto" to a concrete layout (shared with the CLI, which
-    needs the answer up front to pick the data placement)."""
+    needs the answer up front to pick the data placement). Every init
+    has a weights-mode layout (exact for the random/WLS options,
+    shared-init for SVD/ICA), so auto switches purely on size."""
     if method != "auto":
         return method
-    return ("weights" if n_elems >= 2_000_000
-            and init_option in _WEIGHTABLE_INITS else "resample")
+    return "weights" if n_elems >= 2_000_000 else "resample"
 
 
 def _auto_batch_size(n_cpg, n_s, n_ct, n_u, method, itemsize=4,
@@ -174,14 +189,33 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
         method = resolve_method(
             method, init_option if not supervised else "uniform_",
             n_cpg * y.shape[1])
-    elif (method == "weights" and not supervised
-            and init_option not in _WEIGHTABLE_INITS):
-        raise ValueError(
-            f"method='weights' has no weighted form for init "
-            f"{init_option!r} (SVD/ICA need the materialized resampled "
-            f"matrix); use method='resample'")
     if method not in ("resample", "weights"):
         raise ValueError(f"unknown bootstrap method {method!r}")
+
+    # SVD/ICA weights mode: the deterministic init is computed ONCE on
+    # the full data and shared by every replicate (module docstring:
+    # shared-init weighted form — documented divergence from per-
+    # replicate re-init). The shared key only matters on the silent
+    # uniform_ fallback (n_u > n_samples), where the init is random but
+    # still replicate-shared.
+    shared_init = None
+    if (method == "weights" and not supervised
+            and init_option in _SHARED_INIT_WEIGHTABLE):
+        from demethify_tpu.solvers.init import (
+            init_partial as _ip,
+            init_purity as _ipur,
+            init_unsupervised as _iu,
+        )
+
+        k_shared = jax.random.fold_in(key, 2 ** 31 - 1)
+        if unsupervised:
+            shared_init = _iu(k_shared, init_option, y, d, n_u)
+        elif purity is not None:
+            shared_init = _ipur(k_shared, init_option, y, d, ref, n_u,
+                                purity)
+        else:
+            shared_init = _ip(k_shared, init_option, y, d, ref, n_u)
+        shared_init = tuple(jnp.asarray(x) for x in shared_init)
     if batch_size is None:
         batch_size = _auto_batch_size(
             n_cpg, y.shape[1], 0 if unsupervised else ref.shape[1],
@@ -228,9 +262,13 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
         wvec = jnp.zeros((n_cpg,), y.dtype).at[idx].add(1.0)
         if unsupervised:
             # uniform_/beta/uniform unsupervised draws are
-            # data-independent (SVD/ICA were rejected above), so the
-            # init needs no weighted form
-            u0, a0 = init_unsupervised(k_init, init_option, y, d, n_u)
+            # data-independent and SVD/ICA use the shared full-data
+            # init, so the init needs no weighted form
+            if shared_init is not None:
+                u0, a0 = shared_init
+            else:
+                u0, a0 = init_unsupervised(k_init, init_option, y, d,
+                                           n_u)
             u, alpha, _ = unsupervised_solve(u0, a0, y, d, n_u,
                                              n_iter1=n_iter1,
                                              n_iter2=n_iter2, tol=tol,
@@ -240,17 +278,21 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
         if supervised:
             props = wls_intercept_batch(d * y, wvec[:, None] * d, ref)
             return props, jnp.zeros((n_cpg, 0), y.dtype)
-        if purity is not None:
+        if shared_init is not None:
+            u0, a0 = shared_init
+        elif purity is not None:
             u0, a0 = init_purity(k_init, init_option, y, d, ref, n_u,
                                  purity, row_weights=wvec)
+        else:
+            u0, a0 = init_partial(k_init, init_option, y, d, ref, n_u,
+                                  row_weights=wvec)
+        if purity is not None:
             u, alpha, _ = purity_solve(u0, a0, y, d, ref, purity, n_u,
                                        n_iter1=n_iter1, n_iter2=n_iter2,
                                        tol=tol,
                                        tol_relative=tol_relative,
                                        row_weights=wvec)
         else:
-            u0, a0 = init_partial(k_init, init_option, y, d, ref, n_u,
-                                  row_weights=wvec)
             u, alpha, _ = partial_ref_solve(u0, a0, y, d, ref, n_u,
                                             n_iter1=n_iter1,
                                             n_iter2=n_iter2, tol=tol,
@@ -286,7 +328,12 @@ def bootstrap_ci(y, d, ref, n_u: int, *,
             k, (n_sample_rows,), 0, n_sample_rows))(k_idx)
         w_b = jax.vmap(lambda i: jnp.zeros(
             (n_cpg,), y.dtype).at[i].add(1.0))(idx_b)
-        if purity is not None:
+        if shared_init is not None:
+            u0, a0 = shared_init
+            n_b = ks.shape[0]
+            u0_b = jnp.broadcast_to(u0[None], (n_b,) + u0.shape)
+            a0_b = jnp.broadcast_to(a0[None], (n_b,) + a0.shape)
+        elif purity is not None:
             u0_b, a0_b = jax.vmap(
                 lambda k, w: init_purity(k, init_option, y, d, ref,
                                          n_u, purity,

@@ -165,14 +165,41 @@ class TestBootstrapCIWeights:
         assert lo_u.shape == (y.shape[0], n_u)
         assert np.all(np.isfinite(lo_u)) and np.all(np.isfinite(hi_u))
 
-    def test_weights_mode_rejects_svd_init(self, small_problem):
+    def test_weights_mode_svd_shared_init(self, small_problem):
+        """SVD-init weights mode (shared full-data init, per-replicate
+        weighted solves) must produce CIs consistent with resample
+        mode's distribution on the fixture: same shapes, valid ordering,
+        and proportion-CI midpoints within the run-to-run spread (the
+        init divergence is documented — shared init vs per-resample
+        re-init — but both bootstrap the same converged optimum here)."""
         p = small_problem
-        import pytest
+        y, d, Rt, n_u = p["y"], p["d"], p["R_trunc"], p["n_u"]
+        kw = dict(level=90.0, n_bootstrap=16, init_option="SVD",
+                  n_iter1=300, n_iter2=10, tol=1e-9,
+                  key=jax.random.PRNGKey(7), batch_size=8)
+        lo_w, hi_w, lo_uw, hi_uw = bootstrap_ci(
+            y, d, Rt, n_u, method="weights", **kw)
+        lo_r, hi_r, lo_ur, hi_ur = bootstrap_ci(
+            y, d, Rt, n_u, method="resample", **kw)
+        assert lo_w.shape == lo_r.shape
+        assert np.all(lo_w <= hi_w + 1e-12)
+        assert lo_uw.shape == (y.shape[0], n_u)
+        # same underlying distribution: CI midpoints of the proportions
+        # agree within the bootstrap spread
+        mid_w = (np.asarray(lo_w) + np.asarray(hi_w)) / 2
+        mid_r = (np.asarray(lo_r) + np.asarray(hi_r)) / 2
+        width = np.maximum(np.asarray(hi_r) - np.asarray(lo_r), 0.02)
+        assert np.all(np.abs(mid_w - mid_r) <= 2.0 * width + 0.05)
 
-        with pytest.raises(ValueError, match="weighted form"):
-            bootstrap_ci(p["y"], p["d"], p["R_trunc"], p["n_u"],
-                         level=90.0, n_bootstrap=2, init_option="SVD",
-                         method="weights")
+    def test_weights_mode_ica_shared_init_runs(self, small_problem):
+        p = small_problem
+        lo_p, hi_p, lo_u, hi_u = bootstrap_ci(
+            p["y"], p["d"], p["R_trunc"], p["n_u"], level=90.0,
+            n_bootstrap=4, init_option="ICA", n_iter1=50, n_iter2=5,
+            tol=1e-7, key=jax.random.PRNGKey(9), batch_size=4,
+            method="weights")
+        assert np.all(lo_p <= hi_p + 1e-12)
+        assert np.all(np.isfinite(lo_u)) and np.all(np.isfinite(hi_u))
 
     def test_auto_stays_resample_on_small_input(self, small_problem):
         # tiny fixture -> auto must keep the reference layout (u CIs per
