@@ -161,10 +161,25 @@ class TestGoldenCostParity:
         props = _read_props(tmp_path / "celltypes_proportions.csv")
         from demethify_tpu.io.readers import load_dataset
         ds = load_dataset(SAMPLES, ref=None, bedmethyl=True)
-        resid = ds.meth_f - prof.values @ props.values
+        recon = prof.values @ props.values
+        resid = ds.meth_f - recon
         ours = float(np.sum(ds.counts * resid * resid))
-        # golden run (test/unsupervised) achieves 276.38 on this fixture
-        assert ours <= 276.38 * 1.25
+        # golden run (test/unsupervised) achieves 276.38 on this fixture.
+        # TWO-SIDED: an implausibly low cost means the solver left the
+        # reference's constraint set (clip/simplex), not a better fit.
+        assert 276.38 * 0.5 <= ours <= 276.38 * 1.25
+        # accuracy vs SIMULATION truth: the rank-4 fit must denoise —
+        # its reconstruction sits closer to the noise-free simulated
+        # mixture [ref | u_sim] @ props_sim than the raw data does
+        # (measured 0.036 vs the data's own 0.051; golden-era bound)
+        sim = _sim_truth()
+        u_sim = pd.read_csv(os.path.join(FIXDIR, "meth_profile_sim.csv"))
+        ref = load_dataset(SAMPLES, ref=REF, bedmethyl=True).ref
+        y_clean = np.hstack([ref, u_sim.values]) @ sim.values
+        rmse_fit = float(np.sqrt(np.mean((recon - y_clean) ** 2)))
+        rmse_raw = float(np.sqrt(np.mean((ds.meth_f - y_clean) ** 2)))
+        assert rmse_fit < rmse_raw
+        assert rmse_fit <= 0.045
 
     def test_purity_matches_golden_constraint(self, tmp_path):
         # the notebook's run passed purity = 100*(1 - unknown_truth);
