@@ -911,6 +911,18 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
     state_dtype = ut_b.dtype
     from demethify_tpu.ops.gram import accum_dtype
     acc = accum_dtype(yt)
+    # INVARIANT: the solver state dtype equals the accumulation dtype
+    # (solvers/fused.py casts u/alpha to accum_dtype(y); bf16 is a
+    # STORAGE dtype for y/d/rtt only). The kernel's general-case gram
+    # section reuses the state-dtype drt rows (d*rtt) built for the c2
+    # dot — in-kernel casts to acc are no-ops ONLY under this
+    # invariant; a bf16 state would silently round the gram products
+    # (advisor round-4 finding).
+    if jnp.dtype(state_dtype) != jnp.dtype(acc):
+        raise ValueError(
+            f"u_phase_grams_multi: state dtype {state_dtype} must equal "
+            f"the accumulation dtype {acc} (cast u/alpha to "
+            f"accum_dtype(y) as solvers/fused.py does)")
     if active is None:
         active = jnp.ones((n_b,), state_dtype)
     scal = jnp.stack([a_vec.astype(state_dtype),

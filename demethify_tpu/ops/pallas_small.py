@@ -146,39 +146,68 @@ def alpha_phase(G, b, alpha, alpha_prev, a, l_h_prev, l_h, n_steps: int,
 # Frank-Wolfe loop
 # ---------------------------------------------------------------------------
 
-def _fw_kernel(g_ref, b_ref, a_ref, pur_ref, a_out_ref, *, n_steps, p,
-               p1, n_s):
-    b = b_ref[:]
-    purity = pur_ref[:]                      # (1, n_s)
-    row = jax.lax.broadcasted_iota(jnp.int32, (p, n_s), 0)
+def _fw_run(grad_fn, alpha0, purity, p, p1, n_steps):
+    """The whole FW schedule shared by all three FW kernels.
+
+    Per-column block LMO with FIRST-OCCURRENCE argmin via min-over-index
+    (row == min(row where value == min)) — two cheap VPU reductions
+    instead of the round-3 form's two triangular MXU dots per step
+    (cumsum has no Mosaic lowering; the tri-matmul emulation made every
+    one of the 500 steps pay two systolic-array launches on (p, p)
+    operands). Ties resolve to the smallest row index, exactly matching
+    jnp.argmin / ops.frank_wolfe._lmo_columns.
+
+    The schedule is CHUNK-UNROLLED: Mosaic lowers fori_loop only at
+    unroll=1, which serializes the scalar gamma chain and re-issues the
+    loop overhead per step (the U megakernel's unrolling measured ~2.3x;
+    the FW chain is the purity solver's dominant cost). gamma arithmetic
+    is bit-identical to the rolled form (same f32 int-convert/add/divide
+    per step, k now partially constant-folded).
+    """
+    dtype = alpha0.dtype
+    n_cols = alpha0.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, n_cols), 0)
     in_known = (row < p1)
+    big = jnp.asarray(3.4e38, dtype)
 
     def body(k, alpha):
-        grad = -_grad_from_grams(g_ref, b, alpha, p, n_s)  # = G a - b
-        big = jnp.asarray(3.4e38, grad.dtype)
+        grad = grad_fn(alpha)                          # = G a - b
         g1 = jnp.where(in_known, grad, big)
         g2 = jnp.where(in_known, big, grad)
         m1 = jnp.min(g1, axis=0, keepdims=True)
         m2 = jnp.min(g2, axis=0, keepdims=True)
-        # one-hot of the per-column argmin within each block (ties: the
-        # smallest row index, matching jnp.argmin)
-        # cumsum has no Mosaic lowering; inclusive prefix-sum via a
-        # triangular matmul over the tiny row axis instead
-        tri = jnp.tril(jnp.ones((p, p), grad.dtype))
-        is1 = (g1 == m1).astype(grad.dtype)
-        csum1 = jax.lax.dot_general(tri, is1, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=grad.dtype)
-        first1 = (csum1 * is1) == 1.0
-        is2 = (g2 == m2).astype(grad.dtype)
-        csum2 = jax.lax.dot_general(tri, is2, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=grad.dtype)
-        first2 = (csum2 * is2) == 1.0
-        s = (first1.astype(grad.dtype) * purity
-             + first2.astype(grad.dtype) * (1.0 - purity))
-        gamma = 2.0 / (k.astype(grad.dtype) + 2.0)
+        idx1 = jnp.min(jnp.where(g1 == m1, row, p), axis=0,
+                       keepdims=True)
+        idx2 = jnp.min(jnp.where(g2 == m2, row, p), axis=0,
+                       keepdims=True)
+        s = ((row == idx1).astype(dtype) * purity
+             + (row == idx2).astype(dtype) * (1.0 - purity))
+        gamma = 2.0 / (jnp.asarray(k, jnp.int32).astype(dtype) + 2.0)
         return (1.0 - gamma) * alpha + gamma * s
 
-    a_out_ref[:] = jax.lax.fori_loop(0, n_steps, body, a_ref[:])
+    if n_steps <= 64:
+        alpha = alpha0
+        for k in range(n_steps):
+            alpha = body(k, alpha)
+        return alpha
+    chunk = next(c for c in (25, 20, 16, 10, 8, 5, 4, 2, 1)
+                 if n_steps % c == 0)
+
+    def chunk_body(kc, alpha):
+        for j in range(chunk):
+            alpha = body(kc * chunk + j, alpha)
+        return alpha
+
+    return jax.lax.fori_loop(0, n_steps // chunk, chunk_body, alpha0)
+
+
+def _fw_kernel(g_ref, b_ref, a_ref, pur_ref, a_out_ref, *, n_steps, p,
+               p1, n_s):
+    b = b_ref[:]
+    purity = pur_ref[:]                      # (1, n_s)
+    a_out_ref[:] = _fw_run(
+        lambda alpha: -_grad_from_grams(g_ref, b, alpha, p, n_s),
+        a_ref[:], purity, p, p1, n_steps)
 
 
 def fw_phase(G, b, alpha1, alpha2, purity, n_steps: int):
@@ -546,32 +575,8 @@ def _fw_full_multi_kernel(env_ref, g3_ref, b_ref, a_ref, pur_ref,
     ydy_sum_b = env_ref[1:2]
     b = b_ref[:]
     purity = pur_ref[:]                              # (1, C)
-    n_cols = b.shape[1]
-    row = jax.lax.broadcasted_iota(jnp.int32, (p, n_cols), 0)
-    in_known = (row < p1)
-    tri = jnp.tril(jnp.ones((p, p), b.dtype))
-
-    def body(k, alpha):
-        grad = -_grad_cols(g3_ref, b, alpha, p)      # = G a - b
-        big = jnp.asarray(3.4e38, grad.dtype)
-        g1 = jnp.where(in_known, grad, big)
-        g2 = jnp.where(in_known, big, grad)
-        m1 = jnp.min(g1, axis=0, keepdims=True)
-        m2 = jnp.min(g2, axis=0, keepdims=True)
-        is1 = (g1 == m1).astype(grad.dtype)
-        csum1 = jax.lax.dot_general(tri, is1, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=grad.dtype)
-        first1 = (csum1 * is1) == 1.0
-        is2 = (g2 == m2).astype(grad.dtype)
-        csum2 = jax.lax.dot_general(tri, is2, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=grad.dtype)
-        first2 = (csum2 * is2) == 1.0
-        s = (first1.astype(grad.dtype) * purity
-             + first2.astype(grad.dtype) * (1.0 - purity))
-        gamma = 2.0 / (k.astype(grad.dtype) + 2.0)
-        return (1.0 - gamma) * alpha + gamma * s
-
-    alpha = jax.lax.fori_loop(0, n_steps, body, a_ref[:])
+    alpha = _fw_run(lambda a: -_grad_cols(g3_ref, b, a, p),
+                    a_ref[:], purity, p, p1, n_steps)
     a_out_ref[:] = alpha
 
     grad = _grad_cols(g3_ref, b, alpha, p)
@@ -634,31 +639,8 @@ def _fw_full_kernel(scal_ref, gtt_ref, bt_ref, gu_ref, bu_ref,
     dmax2 = scal_ref[0, 0]
     G, b = _assemble_G_b(gtt_ref, bt_ref, gu_ref, bu_ref, n_ct)
     purity = pur_ref[:]
-    row = jax.lax.broadcasted_iota(jnp.int32, (p, n_s), 0)
-    in_known = (row < p1)
-
-    def body(k, alpha):
-        grad = -_grad_from_grams(G, b, alpha, p, n_s)
-        big = jnp.asarray(3.4e38, grad.dtype)
-        g1 = jnp.where(in_known, grad, big)
-        g2 = jnp.where(in_known, big, grad)
-        m1 = jnp.min(g1, axis=0, keepdims=True)
-        m2 = jnp.min(g2, axis=0, keepdims=True)
-        tri = jnp.tril(jnp.ones((p, p), grad.dtype))
-        is1 = (g1 == m1).astype(grad.dtype)
-        csum1 = jax.lax.dot_general(tri, is1, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=grad.dtype)
-        first1 = (csum1 * is1) == 1.0
-        is2 = (g2 == m2).astype(grad.dtype)
-        csum2 = jax.lax.dot_general(tri, is2, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=grad.dtype)
-        first2 = (csum2 * is2) == 1.0
-        s = (first1.astype(grad.dtype) * purity
-             + first2.astype(grad.dtype) * (1.0 - purity))
-        gamma = 2.0 / (k.astype(grad.dtype) + 2.0)
-        return (1.0 - gamma) * alpha + gamma * s
-
-    alpha = jax.lax.fori_loop(0, n_steps, body, a_ref[:])
+    alpha = _fw_run(lambda a: -_grad_from_grams(G, b, a, p, n_s),
+                    a_ref[:], purity, p, p1, n_steps)
     a_out_ref[:] = alpha
 
     grad = _grad_from_grams(G, b, alpha, p, n_s)
