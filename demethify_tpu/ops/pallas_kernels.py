@@ -218,23 +218,32 @@ MEGA_TILE = 24576   # measured best on v5e (0.191 vs 0.217 ms/iter at 16384)
 def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
                           rtt_ref, u_ref, up_ref,
                           u_out_ref, up_out_ref, gu_ref, bu_ref, usq_ref,
-                          *, n_steps, n_u, lagged):
+                          *, n_steps, n_u, lagged, bf16_compute=False):
     k = pl.program_id(0)
     a0_init = scal_ref[0, 0]
     l_w = scal_ref[0, 1]
     l_w_prev0 = scal_ref[0, 2]
 
     state_dt = u_ref.dtype
-    yt = yt_ref[:].astype(state_dt)
-    dt = dt_ref[:].astype(state_dt)
+    # bf16_compute: the (n_s|n_ct, T) data blocks stay bf16 end-to-end —
+    # consumed directly by the MXU dots (f32 outputs via
+    # preferred_element_type) and by bf16 VPU elementwise products —
+    # instead of paying a VPU convert per block per pass (measured to
+    # eat the entire halved-DMA saving of bf16 storage, ROADMAP r4).
+    # The FISTA state/coefficients and every dot OUTPUT stay f32; the
+    # accuracy change is bf16 rounding of dy/dresid/drt products
+    # (flag-gated; default path is bit-identical to before).
+    data_dt = yt_ref.dtype if bf16_compute else state_dt
+    yt = yt_ref[:].astype(data_dt)
+    dt = dt_ref[:].astype(data_dt)
     a2b = a2b_ref[:]                      # (n_u, n_s)
 
     dy = dt * yt                          # reused by C and b_u
     if rtt_ref is not None:
-        rtt = rtt_ref[:].astype(state_dt)
+        rtt = rtt_ref[:].astype(data_dt)
         known = jax.lax.dot_general(
-            a1b_ref[:], rtt, (((0,), (0,)), ((), ())),
-            preferred_element_type=state_dt)          # (n_s, T)
+            a1b_ref[:].astype(data_dt), rtt, (((0,), (0,)), ((), ())),
+            preferred_element_type=data_dt)           # (n_s, T)
         dresid = dy - dt * known
     else:
         rtt = None
@@ -250,13 +259,21 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     # DIRECT form keeps d*(y - Rt a1) and redoes the two small-K dots per
     # step at O(n_s T). Mirrors ops/fista.use_gram_u.
     use_gram = n_u * n_u <= 3 * dt.shape[0]
+    if not use_gram and bf16_compute:
+        # the direct dataflow re-reads dresid/dt every step; per-step
+        # bf16 math is not worth the accuracy churn — upcast once
+        dresid = dresid.astype(state_dt)
+        dt = dt.astype(state_dt)
+        data_dt = state_dt
 
     if use_gram:
-        c = jax.lax.dot_general(a2b, dresid, (((1,), (0,)), ((), ())),
+        c = jax.lax.dot_general(a2b.astype(data_dt), dresid,
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=state_dt)
         w2 = (a2b[:, None, :] * a2b[None, :, :]).reshape(
             n_u * n_u, a2b.shape[1])
-        m = jax.lax.dot_general(w2, dt, (((1,), (0,)), ((), ())),
+        m = jax.lax.dot_general(w2.astype(data_dt), dt,
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=state_dt)
         # Fold the lane axis into sublanes: a (n_u, T) array keeps only
         # n_u of 8 VPU sublanes busy; as (n_u, 8, T/8) every elementwise
@@ -384,13 +401,22 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     # so they contribute nothing)
     acc = gu_ref.dtype
     n_s = dt.shape[0]
-    du = (dt[:, None, :] * u[None, :, :]).reshape(n_s * n_u, dt.shape[-1])
-    rhs = u if rtt is None else jnp.concatenate([rtt, u], axis=0)
+    if bf16_compute:
+        # one (n_u, T) convert of u; all (rows, T) gram operands stay
+        # bf16 and the dots accumulate f32 via preferred_element_type
+        u_g = u.astype(data_dt)
+        cast = lambda x: x                              # noqa: E731
+    else:
+        u_g = u
+        cast = lambda x: x.astype(acc)                  # noqa: E731
+    du = (dt[:, None, :] * u_g[None, :, :]).reshape(n_s * n_u,
+                                                    dt.shape[-1])
+    rhs = u_g if rtt is None else jnp.concatenate([rtt, u_g], axis=0)
     gu_part = jax.lax.dot_general(
-        du.astype(acc), rhs.astype(acc), (((1,), (1,)), ((), ())),
+        cast(du), cast(rhs), (((1,), (1,)), ((), ())),
         preferred_element_type=acc).reshape(gu_ref.shape)
     bu_part = jax.lax.dot_general(
-        u.astype(acc), dy.astype(acc), (((1,), (1,)), ((), ())),
+        cast(u_g), cast(dy), (((1,), (1,)), ((), ())),
         preferred_element_type=acc)                       # (n_u, n_s)
     uacc = u.astype(acc)
     usq_part = jnp.sum(uacc * uacc, keepdims=True)
@@ -410,8 +436,13 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
 
 def u_phase_grams(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
                   a, l_w, l_w_prev, n_steps: int, *, lagged: bool = False,
-                  tile: int = MEGA_TILE):
+                  bf16_compute: bool = False, tile: int = MEGA_TILE):
     """Fused outer-iteration pass: full U FISTA loop + new-u Gram blocks.
+
+    ``bf16_compute`` (bf16-storage inputs only): consume the bf16 data
+    blocks directly in the MXU dots / bf16 VPU products instead of
+    upcasting per pass — see the kernel comment. Flag-gated accuracy
+    change; ignored (with the exact legacy dataflow) for f32/f64 data.
 
     Transposed operands as in `u_phase`. Returns
     ``(ut, u_prev_t, a_new, l_w_prev_new, gu, b_u, usq)`` where
@@ -432,6 +463,9 @@ def u_phase_grams(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
     state_dtype = ut.dtype
     from demethify_tpu.ops.gram import accum_dtype
     acc = accum_dtype(yt)
+    # the flag only means something for 16-bit data; for f32/f64 the
+    # legacy dataflow is used verbatim (bit-identical)
+    bf16 = bool(bf16_compute) and jnp.dtype(yt.dtype) == jnp.bfloat16
     scal = jnp.reshape(jnp.stack([a.astype(state_dtype),
                                   l_w.astype(state_dtype),
                                   l_w_prev.astype(state_dtype)]), (1, 3))
@@ -457,7 +491,8 @@ def u_phase_grams(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
         ]
         args = (scal, a1_block, a2_block, yt, dt, rtt, ut, u_prev_t)
         kern = functools.partial(_u_phase_grams_kernel, n_steps=n_steps,
-                                 n_u=n_u, lagged=lagged)
+                                 n_u=n_u, lagged=lagged,
+                                 bf16_compute=bf16)
     else:
         dummy = jnp.zeros((1, 1), state_dtype)
         in_specs = [
@@ -473,7 +508,8 @@ def u_phase_grams(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
                  up_ref, *out_refs):
             _u_phase_grams_kernel(scal_ref, None, a2b_ref, yt_ref, dt_ref,
                                   None, u_ref, up_ref, *out_refs,
-                                  n_steps=n_steps, n_u=n_u, lagged=lagged)
+                                  n_steps=n_steps, n_u=n_u, lagged=lagged,
+                                  bf16_compute=bf16)
 
     out_specs = [lane_spec(n_u), lane_spec(n_u),
                  full_spec((n_s, n_u, p_r)), full_spec((n_u, n_s)),

@@ -59,7 +59,11 @@ def _axis_max(x, axis_name):
 # tripwire contract as _MULTI_KERNEL_SRC_SHA1 below: auto_tile models
 # that kernel's VMEM temporaries, so a kernel edit must re-derive the
 # formula, re-run the hardware compile smoke, and touch this line.
-_MEGA_KERNEL_SRC_SHA1 = "edc7a819677b"
+_MEGA_KERNEL_SRC_SHA1 = "bff45033f7db"
+# (round 5: bf16_compute flag added — bf16-path temporaries are HALF the
+# f32 sizes auto_tile models, so the budget stays conservative; default
+# f32 dataflow unchanged. Hardware compile smoke re-run 13/13 + the
+# bf16_compute lowering smoked separately.)
 
 
 def auto_tile(n_u: int, n_s: int, n_ct: int = 0,
@@ -91,18 +95,26 @@ def _cost_t(yt, dt, rt_full, alpha):
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
                                    "record_trace", "tile", "tol_relative",
-                                   "axis_name"))
+                                   "axis_name", "bf16_compute"))
 def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
                             n_iter1: int = 10000, n_iter2: int = 20,
                             tol: float = 1e-2, record_trace: bool = False,
                             tile: int = 0, tol_relative: bool = False,
-                            row_mask=None, axis_name=None):
+                            row_mask=None, axis_name=None,
+                            bf16_compute: bool = False):
     """Drop-in equivalent of partial_ref_solve (same trajectory).
 
     With ``axis_name`` set the function runs inside shard_map over that
     mesh axis: y/d/R_trunc/u are this device's CpG row block, every
     cross-CpG reduction (cost, Grams, Lipschitz norms, max coverage)
     psums over the axis, and the U FISTA phase stays shard-local.
+
+    ``bf16_compute`` (only meaningful with bf16-storage y/d/R_trunc):
+    the megakernel consumes the bf16 blocks directly in its dots instead
+    of upcasting per pass — trades bf16 rounding of the dy/dresid/gram
+    products for the halved-DMA bound (flag-gated accuracy change; the
+    loop-invariant Grams and cost here keep f32 accumulation either
+    way).
     """
     dtype = accum_dtype(y)
     if tile == 0:
@@ -142,7 +154,8 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
 
         ut, upt, a1, l_w_prev, gu, b_u, usq = u_phase_grams(
             yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut, upt,
-            a1, l_w, l_w_prev, n_iter2, tile=tile)
+            a1, l_w, l_w_prev, n_iter2, tile=tile,
+            bf16_compute=bf16_compute)
         gu = _axis_sum(gu, axis_name)
         b_u = _axis_sum(b_u, axis_name)
         usq = _axis_sum(usq, axis_name)

@@ -33,16 +33,12 @@ def main(n_b=8, n_s=10, n_ct=5, n_u=1):
     purity = jnp.asarray(rng.uniform(0.3, 0.8, size=n_s), jnp.float32)
     jax.block_until_ready([gtt, bt, gu_b, bu_b, ydy, alpha_b, purity])
 
-    @jax.jit
-    def run(n_steps):
-        a, lw, cost = fw_phase_full_multi(
-            gtt, bt, gu_b, bu_b, ydy, alpha_b, purity, 2500.0,
-            n_steps, n_u)
-        return jnp.sum(a) + jnp.sum(cost)
-
     results = {}
     for n_steps in (100, 500, 1000):
-        fn = jax.jit(lambda ns=n_steps: run(ns))
+        # n_steps must stay a static Python int (it shapes the unroll)
+        fn = jax.jit(lambda ns=n_steps: jnp.sum(fw_phase_full_multi(
+            gtt, bt, gu_b, bu_b, ydy, alpha_b, purity, 2500.0,
+            ns, n_u)[0]))
         ms, top = device_ms(f"/tmp/fwk_{n_steps}",
                             lambda: float(fn()))
         results[n_steps] = ms

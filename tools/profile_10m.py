@@ -51,7 +51,7 @@ def full_breakdown(tracedir, fn, top=12):
     return total / 1e3
 
 
-def run(scale: int, iters: int):
+def run(scale: int, iters: int, tile: int = 0):
     y, d, Rt, u0, a0 = make_problem()
     if scale > 1:
         y = np.tile(y, (scale, 1))
@@ -62,14 +62,15 @@ def run(scale: int, iters: int):
     yj, dj, Rtj, uj, aj = (jax.device_put(x)
                            for x in (y, d, Rt, u0, a0))
     jax.block_until_ready([yj, dj, Rtj, uj, aj])
-    print(f"{n} sites, {iters} outer iters:")
-    ms = full_breakdown(f"/tmp/prof_scale{scale}", lambda: float(
+    print(f"{n} sites, {iters} outer iters, tile={tile or 'auto'}:")
+    ms = full_breakdown(f"/tmp/prof_scale{scale}_{tile}", lambda: float(
         fused.partial_ref_solve_fused(uj, aj, yj, dj, Rtj, N_U,
                                       n_iter1=iters, n_iter2=N_INNER,
-                                      tol=0.0)[2]["cost"]))
+                                      tol=0.0, tile=tile)[2]["cost"]))
     per_iter = ms / iters
     print(f"  => {per_iter:.4f} ms/outer-iter, "
-          f"{n * iters / (ms / 1e3) / 1e9:.3f} B site-iters/s")
+          f"{n * iters / (ms / 1e3) / 1e9:.3f} B site-iters/s",
+          flush=True)
     return per_iter, n
 
 
@@ -78,6 +79,17 @@ def main():
     ms10, n10 = run(10, 20)
     ratio = (ms10 / n10) / (ms1 / n1)
     print(f"per-site 10M/1M ratio: {ratio:.3f} (1.0 = flat scaling)")
+    # tile sweep at 10M: if per-grid-step overhead (unhidden VPU FISTA
+    # + fixed step cost) drives the falloff, larger tiles amortize it
+    for tile in (32768, 49152, 65536):
+        run(10, 20, tile=tile)
+
+
+if __name__ == "__main__" and len(_sys.argv) > 1:
+    # profile_10m.py SCALE ITERS [TILE]
+    run(int(_sys.argv[1]), int(_sys.argv[2]),
+        int(_sys.argv[3]) if len(_sys.argv) > 3 else 0)
+    _sys.exit(0)
 
 
 if __name__ == "__main__":

@@ -42,7 +42,7 @@ def device_ms(tracedir, fn):
     return total / 1e3, top
 
 
-def main(which="all", storage=None):
+def main(which="all", storage=None, bf16_compute=False):
     """``storage`` (e.g. jnp.bfloat16) casts the DATA arrays (Y, D, Rt)
     on device; the solver state (u, alpha) and all reductions stay f32
     (ops/gram.accum_dtype). bf16 storage halves the dominant HBM read
@@ -54,11 +54,15 @@ def main(which="all", storage=None):
     jax.block_until_ready([uj, aj, yj, dj, Rtj])
 
     tag = "" if storage is None else f" [{jnp.dtype(storage).name} storage]"
+    if bf16_compute:
+        tag += " [bf16 compute]"
     if which in ("all", "partial"):
         ms, top = device_ms("/tmp/prof_pr", lambda: float(
             fused.partial_ref_solve_fused(uj, aj, yj, dj, Rtj, N_U,
                                           n_iter1=ITERS, n_iter2=N_INNER,
-                                          tol=0.0)[2]["cost"]))
+                                          tol=0.0,
+                                          bf16_compute=bf16_compute
+                                          )[2]["cost"]))
         print(f"partial-ref fused{tag}: {ms/ITERS:.4f} ms/iter [{top}]",
               flush=True)
 
@@ -138,5 +142,7 @@ if __name__ == "__main__":
         main_multi_purity()
     elif which == "bf16":
         main("partial", storage=jnp.bfloat16)
+    elif which == "bf16compute":
+        main("partial", storage=jnp.bfloat16, bf16_compute=True)
     else:
         main(which)
