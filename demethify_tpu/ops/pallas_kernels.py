@@ -241,13 +241,28 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     dy = dt * yt                          # reused by C and b_u
     if rtt_ref is not None:
         rtt = rtt_ref[:].astype(data_dt)
-        known = jax.lax.dot_general(
-            a1b_ref[:].astype(data_dt), rtt, (((0,), (0,)), ((), ())),
-            preferred_element_type=data_dt)           # (n_s, T)
-        dresid = dy - dt * known
+        if bf16_compute:
+            # Mosaic requires 32-bit matmul accumulators, so a bf16
+            # `known` block is not expressible — and an f32 one would
+            # reintroduce the (n_s, T) converts. Skip the known/dresid
+            # intermediates: C is built below as c1 - c2 over drt rows
+            # (the multi kernel's algebra), all-bf16 operands with f32
+            # dot outputs.
+            known = None
+            dresid = dy
+            drt = jnp.concatenate(
+                [dt * rtt[cc][None, :] for cc in range(rtt.shape[0])],
+                axis=0)                               # (n_ct*n_s, T)
+        else:
+            known = jax.lax.dot_general(
+                a1b_ref[:], rtt, (((0,), (0,)), ((), ())),
+                preferred_element_type=state_dt)      # (n_s, T)
+            dresid = dy - dt * known
+            drt = None
     else:
         rtt = None
         dresid = dy
+        drt = None
     T = dt.shape[-1]
     SUB = 8
     Tf = T // SUB
@@ -261,15 +276,35 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     use_gram = n_u * n_u <= 3 * dt.shape[0]
     if not use_gram and bf16_compute:
         # the direct dataflow re-reads dresid/dt every step; per-step
-        # bf16 math is not worth the accuracy churn — upcast once
-        dresid = dresid.astype(state_dt)
+        # bf16 math is not worth the accuracy churn — upcast once and
+        # rebuild the known-block residual the legacy way
         dt = dt.astype(state_dt)
+        dresid = dresid.astype(state_dt)
+        if rtt is not None:
+            rtt = rtt.astype(state_dt)
+            known = jax.lax.dot_general(
+                a1b_ref[:], rtt, (((0,), (0,)), ((), ())),
+                preferred_element_type=state_dt)
+            dresid = dresid - dt * known
         data_dt = state_dt
 
     if use_gram:
         c = jax.lax.dot_general(a2b.astype(data_dt), dresid,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=state_dt)
+        if drt is not None:
+            # bf16 branch: subtract the known-block term
+            #   c2[u] = sum_{c,s} (a2b[u,s] a1b[c,s]) (d[s] rtt[c])
+            # via one (n_u, n_ct n_s) x (n_ct n_s, T) dot over the drt
+            # rows (c-major to match drt's concat order)
+            a1b = a1b_ref[:]
+            n_ct_c = a1b.shape[0]
+            wk = jnp.concatenate(
+                [a2b * a1b[cc][None, :] for cc in range(n_ct_c)],
+                axis=1)                               # (n_u, n_ct n_s)
+            c = c - jax.lax.dot_general(
+                wk.astype(data_dt), drt, (((1,), (0,)), ((), ())),
+                preferred_element_type=state_dt)
         w2 = (a2b[:, None, :] * a2b[None, :, :]).reshape(
             n_u * n_u, a2b.shape[1])
         m = jax.lax.dot_general(w2.astype(data_dt), dt,
@@ -401,9 +436,11 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     # so they contribute nothing)
     acc = gu_ref.dtype
     n_s = dt.shape[0]
-    if bf16_compute:
+    if bf16_compute and data_dt != state_dt:
         # one (n_u, T) convert of u; all (rows, T) gram operands stay
-        # bf16 and the dots accumulate f32 via preferred_element_type
+        # bf16 and the dots accumulate f32 via preferred_element_type.
+        # (the direct-dataflow fallback above resets data_dt to f32, in
+        # which case the legacy gram casts below apply)
         u_g = u.astype(data_dt)
         cast = lambda x: x                              # noqa: E731
     else:

@@ -59,29 +59,45 @@ def _axis_max(x, axis_name):
 # tripwire contract as _MULTI_KERNEL_SRC_SHA1 below: auto_tile models
 # that kernel's VMEM temporaries, so a kernel edit must re-derive the
 # formula, re-run the hardware compile smoke, and touch this line.
-_MEGA_KERNEL_SRC_SHA1 = "bff45033f7db"
-# (round 5: bf16_compute flag added — bf16-path temporaries are HALF the
-# f32 sizes auto_tile models, so the budget stays conservative; default
-# f32 dataflow unchanged. Hardware compile smoke re-run 13/13 + the
-# bf16_compute lowering smoked separately.)
+_MEGA_KERNEL_SRC_SHA1 = "d822636ac316"
+# (round 5: bf16_compute flag added — the bf16 branch builds C as
+# c1 - c2 over (n_ct n_s, T) bf16 drt rows instead of the known/dresid
+# intermediates, because Mosaic requires 32-bit matmul accumulators —
+# a bf16 `known` cannot exist, and an f32 one would reintroduce the
+# per-block converts the flag exists to remove. auto_tile has a
+# matching bf16_compute branch modelling the halved data blocks + drt.
+# Default f32 dataflow unchanged; hardware compile smoke re-run.)
 
 
 def auto_tile(n_u: int, n_s: int, n_ct: int = 0,
-              itemsize: int = 4) -> int:
+              itemsize: int = 4, bf16_compute: bool = False) -> int:
     """Largest lane tile whose per-step VMEM footprint stays within
     budget: double-buffered IO blocks (y, d, rt, 2x u in + 2x u out) plus
     the in-kernel temporaries (dy, dresid, du, c, m with its n_u^2 rows,
     folded FISTA carries). The n_u^2 curvature rows dominate for large
     n_u, which is what shrinks the tile. ``itemsize`` is the byte width
-    of the solver's accumulation dtype (8 under --dtype float64)."""
+    of the solver's accumulation dtype (8 under --dtype float64).
+
+    ``bf16_compute`` models the kernel's bf16 branch instead: data
+    blocks/dy/du at half width, no dresid/known, plus the bf16
+    (n_ct n_s, T) drt rows its c1 - c2 build materializes."""
     # the n_u^2 curvature rows exist only in the kernel's gram dataflow
     # (pallas_kernels: use_gram = n_u^2 <= 3 n_s); the direct dataflow
     # trades them for per-step (n_s, T) temporaries
     curv = n_u * n_u if n_u * n_u <= 3 * n_s else 2 * n_s
-    bytes_per_lane = itemsize * (
-        2 * (2 * n_s + n_ct + 4 * n_u)                     # IO, dbl-buf
-        + 3 * n_s                                          # dy/dresid/...
-        + n_s * n_u + curv + 6 * n_u)
+    if bf16_compute and n_u * n_u <= 3 * n_s:
+        units2 = (2 * (2 * n_s + n_ct)        # bf16 IO blocks, dbl-buf
+                  + n_s                       # dy (bf16)
+                  + n_ct * n_s                # drt rows (bf16)
+                  + n_s * n_u + n_u)          # du + u_g (bf16)
+        bytes_per_lane = itemsize * (
+            2 * 4 * n_u                       # u IO (state dtype)
+            + curv + 6 * n_u) + (itemsize // 2) * units2
+    else:
+        bytes_per_lane = itemsize * (
+            2 * (2 * n_s + n_ct + 4 * n_u)                 # IO, dbl-buf
+            + 3 * n_s                                      # dy/dresid/...
+            + n_s * n_u + curv + 6 * n_u)
     budget = 10 * 2 ** 20
     tile = budget // max(bytes_per_lane, 1)
     tile = (tile // 1024) * 1024
@@ -119,7 +135,9 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
     dtype = accum_dtype(y)
     if tile == 0:
         tile = auto_tile(n_u, y.shape[1], R_trunc.shape[1],
-                         itemsize=jnp.dtype(dtype).itemsize)
+                         itemsize=jnp.dtype(dtype).itemsize,
+                         bf16_compute=bf16_compute
+                         and jnp.dtype(y.dtype) == jnp.bfloat16)
     u = u.astype(dtype)
     alpha = alpha.astype(dtype)
     n = y.shape[0]
