@@ -362,6 +362,47 @@ def test_bootstrap_fused_multi_route_matches_vmapped(small_problem):
                                    atol=1e-9)
 
 
+def test_bootstrap_fused_multi_route_svd_shared_init(small_problem):
+    # SVD shared-init weights mode through the fused-multi route: the
+    # broadcast shared init must give the same CIs as the vmapped route
+    p = small_problem
+    y, d, Rt = p["y"], p["d"], p["R_trunc"]
+    n_u = p["n_u"]
+    kw = dict(level=90.0, n_bootstrap=5, n_iter1=8, n_iter2=4,
+              tol=1e-6, key=jax.random.PRNGKey(12), batch_size=5,
+              method="weights", init_option="SVD")
+    plain = bootstrap_ci(y, d, Rt, n_u, fused_multi=False, **kw)
+    fusedr = bootstrap_ci(y, d, Rt, n_u, fused_multi=True, **kw)
+    for a, b in zip(plain, fusedr):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-9)
+
+
+def test_bootstrap_weights_svd_sharded_matches_local(small_problem):
+    # SVD shared-init weights mode on row-sharded data: the sharded
+    # multi-member megakernel path must reproduce the local CIs
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from demethify_tpu.parallel.mesh import CPG_AXIS, make_mesh
+
+    p = small_problem
+    y, d, Rt = p["y"], p["d"], p["R_trunc"]
+    n_u = p["n_u"]
+    kw = dict(level=90.0, n_bootstrap=4, n_iter1=6, n_iter2=4,
+              tol=1e-6, key=jax.random.PRNGKey(13), batch_size=4,
+              method="weights", init_option="SVD", fused_multi=True)
+    local = bootstrap_ci(y, d, Rt, n_u, **kw)
+    mesh = make_mesh(jax.devices()[:4], replicate=1)
+    sh = NamedSharding(mesh, P(CPG_AXIS, None))
+    y_s = jax.device_put(jnp.asarray(y), sh)
+    d_s = jax.device_put(jnp.asarray(d), sh)
+    Rt_s = jax.device_put(jnp.asarray(Rt), sh)
+    sharded = bootstrap_ci(y_s, d_s, Rt_s, n_u, **kw)
+    for a, b in zip(local, sharded):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6)
+
+
 def test_bootstrap_fused_multi_route_purity(small_problem):
     p = small_problem
     y, d, Rt = p["y"], p["d"], p["R_trunc"]
