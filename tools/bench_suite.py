@@ -10,7 +10,14 @@ profiling sessions.
 Usage: `timeout 6000 python tools/bench_suite.py [--out BENCH_suite.json]`
 (runs on the real TPU; every config is a fresh HLO on a cold cache).
 Device time comes from jax.profiler traces (the axon tunnel adds ~60 ms
-of dispatch latency per call that wall-clock would mis-attribute).
+of dispatch latency per call that wall-clock would mis-attribute), and
+solver rows report STEADY-STATE per-iteration device time (while-body
+kernels only) with the one-time setup (lane pads, loop-invariant Grams,
+initial cost) as a separate `setup_ms` field — a short profile window
+otherwise charges setup to ms/iter (round 4's 10M row carried ~13 ms of
+setup over 20 iters, inflating it ~19%). Raw `value`s also scale with
+the session chip's delivered HBM bandwidth (see bench.py / ROADMAP
+round-5 findings) — compare across sessions via tools/hbm_calibrate.
 """
 import os as _os
 import sys as _sys
@@ -27,7 +34,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/demethify_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from bench import N_CPG, N_INNER, N_U, make_problem  # noqa: E402
-from tools.profile_solvers import device_ms  # noqa: E402
+from tools.profile_solvers import device_ms_split  # noqa: E402
 from demethify_tpu.solvers import fused  # noqa: E402
 
 RESULTS = []
@@ -57,36 +64,37 @@ def main(out_path=None):
 
     # 1. flagship: 1M-site partial-ref megakernel, f32
     iters = 50
-    ms, _ = device_ms("/tmp/bsuite_pr", lambda: float(
+    ms, setup, _ = device_ms_split("/tmp/bsuite_pr", lambda: float(
         fused.partial_ref_solve_fused(uj, aj, yj, dj, Rtj, N_U,
                                       n_iter1=iters, n_iter2=N_INNER,
-                                      tol=0.0)[2]["cost"]))
+                                      tol=0.0)[2]["cost"]), iters)
     emit("partial-ref megakernel, 1M sites x 10 samples, f32",
          ms / iters, "ms/outer-iter",
-         site_iters_per_s=round(n_cpg * iters / (ms / 1e3), 1))
+         site_iters_per_s=round(n_cpg * iters / (ms / 1e3), 1),
+         setup_ms=round(setup, 3))
 
     # 2. flagship under bf16 storage (Y/D/Rt bf16, f32 state/accum) —
     # measured AT PARITY with f32 (ROADMAP round-4 note); pinned here so
     # a regression in the bf16 path is visible
     yb, db, Rtb = (x.astype(jnp.bfloat16) for x in (yj, dj, Rtj))
     jax.block_until_ready([yb, db, Rtb])
-    ms, _ = device_ms("/tmp/bsuite_bf16", lambda: float(
+    ms, setup, _ = device_ms_split("/tmp/bsuite_bf16", lambda: float(
         fused.partial_ref_solve_fused(uj, aj, yb, db, Rtb, N_U,
                                       n_iter1=iters, n_iter2=N_INNER,
-                                      tol=0.0)[2]["cost"]))
+                                      tol=0.0)[2]["cost"]), iters)
     emit("partial-ref megakernel, 1M sites, bf16 storage",
-         ms / iters, "ms/outer-iter")
+         ms / iters, "ms/outer-iter", setup_ms=round(setup, 3))
 
     # 3. multi-restart megakernel, n_u = 1 closed form, B = 16
     B = 16
     u0_b, a0_b = _restart_batch(rng, n_cpg, n_s, n_ct + N_U, N_U, B)
     it1 = 20
-    ms, _ = device_ms("/tmp/bsuite_multi", lambda: float(jnp.sum(
-        fused.partial_ref_solve_fused_multi(
+    ms, setup, _ = device_ms_split("/tmp/bsuite_multi", lambda: float(
+        jnp.sum(fused.partial_ref_solve_fused_multi(
             u0_b, a0_b, yj, dj, Rtj, N_U, n_iter1=it1, n_iter2=N_INNER,
-            tol=0.0)[2]["cost"])))
+            tol=0.0)[2]["cost"])), it1)
     emit("multi-restart megakernel, 1M sites, B=16, n_u=1",
-         ms / it1 / B, "ms/outer-iter/restart")
+         ms / it1 / B, "ms/outer-iter/restart", setup_ms=round(setup, 3))
 
     # 4. GENERAL-case multi megakernel, n_u = 4, B = 16 (round-4
     # rework: component-list FISTA, pair-product grams, raised
@@ -94,12 +102,12 @@ def main(out_path=None):
     n_u4 = 4
     u0_b4, a0_b4 = _restart_batch(rng, n_cpg, n_s, n_ct + n_u4, n_u4, B)
     it1 = 10
-    ms, _ = device_ms("/tmp/bsuite_multi4", lambda: float(jnp.sum(
-        fused.partial_ref_solve_fused_multi(
+    ms, setup, _ = device_ms_split("/tmp/bsuite_multi4", lambda: float(
+        jnp.sum(fused.partial_ref_solve_fused_multi(
             u0_b4, a0_b4, yj, dj, Rtj, n_u4, n_iter1=it1,
-            n_iter2=N_INNER, tol=0.0)[2]["cost"])))
+            n_iter2=N_INNER, tol=0.0)[2]["cost"])), it1)
     emit("multi-restart megakernel, 1M sites, B=16, n_u=4 (general)",
-         ms / it1 / B, "ms/outer-iter/restart")
+         ms / it1 / B, "ms/outer-iter/restart", setup_ms=round(setup, 3))
 
     # 5. weighted-bootstrap megakernel: B = 16 replicates as
     # row-multiplicity weights on shared (Y, D, Rt)
@@ -109,12 +117,13 @@ def main(out_path=None):
     ).astype(np.float32))
     jax.block_until_ready(w_b)
     it1 = 20
-    ms, _ = device_ms("/tmp/bsuite_wboot", lambda: float(jnp.sum(
-        fused.partial_ref_solve_fused_multi(
+    ms, setup, _ = device_ms_split("/tmp/bsuite_wboot", lambda: float(
+        jnp.sum(fused.partial_ref_solve_fused_multi(
             u0_b, a0_b, yj, dj, Rtj, N_U, n_iter1=it1, n_iter2=N_INNER,
-            tol=0.0, row_weights_b=w_b)[2]["cost"])))
+            tol=0.0, row_weights_b=w_b)[2]["cost"])), it1)
     emit("weighted-bootstrap megakernel, 1M sites, B=16 replicates",
-         ms / it1 / B, "ms/outer-iter/replicate")
+         ms / it1 / B, "ms/outer-iter/replicate",
+         setup_ms=round(setup, 3))
 
     # 6. purity multi-restart, B = 8 (500 FW steps per outer iteration)
     Bp = 8
@@ -122,12 +131,13 @@ def main(out_path=None):
     purity = jax.device_put(
         rng.uniform(0.3, 0.8, size=n_s).astype(np.float32))
     it1 = 5
-    ms, _ = device_ms("/tmp/bsuite_pur", lambda: float(jnp.sum(
-        fused.purity_solve_fused_multi(
+    ms, setup, _ = device_ms_split("/tmp/bsuite_pur", lambda: float(
+        jnp.sum(fused.purity_solve_fused_multi(
             u0_bp, a0_bp, yj, dj, Rtj, purity, N_U, n_iter1=it1,
-            n_iter2=500, tol=0.0)[2]["cost"])))
+            n_iter2=500, tol=0.0)[2]["cost"])), it1)
     emit("purity multi-restart megakernel, 1M sites, B=8, 500 FW",
-         ms / it1 / Bp, "ms/outer-iter/restart")
+         ms / it1 / Bp, "ms/outer-iter/restart",
+         setup_ms=round(setup, 3))
 
     # 7. 10M-site single-member solve (genome scale on one chip)
     n10 = 10 * N_CPG
@@ -140,12 +150,13 @@ def main(out_path=None):
                                for x in (y10, d10, Rt10, u10))
     jax.block_until_ready([y10j, d10j, Rt10j, u10j])
     it1 = 20
-    ms, _ = device_ms("/tmp/bsuite_10m", lambda: float(
+    ms, setup, _ = device_ms_split("/tmp/bsuite_10m", lambda: float(
         fused.partial_ref_solve_fused(u10j, aj, y10j, d10j, Rt10j, N_U,
                                       n_iter1=it1, n_iter2=N_INNER,
-                                      tol=0.0)[2]["cost"]))
+                                      tol=0.0)[2]["cost"]), it1)
     emit("partial-ref megakernel, 10M sites", ms / it1, "ms/outer-iter",
-         site_iters_per_s=round(n10 * it1 / (ms / 1e3), 1))
+         site_iters_per_s=round(n10 * it1 / (ms / 1e3), 1),
+         setup_ms=round(setup, 3))
 
     # 8. supervised (reference-based WLS) path: all 10 samples' weighted
     # NNLS-with-intercept at 1M sites in one batched dispatch
@@ -154,10 +165,10 @@ def main(out_path=None):
     from demethify_tpu.ops.nnls import wls_intercept_batch
 
     wls = jax.jit(lambda: wls_intercept_batch(dj * yj, dj, Rtj))
-    ms, _ = device_ms("/tmp/bsuite_sup", lambda: float(
-        jnp.sum(wls())))
+    ms, setup, _ = device_ms_split("/tmp/bsuite_sup", lambda: float(
+        jnp.sum(wls())), 1)
     emit("supervised WLS (NNLS+intercept), 1M sites x 10 samples",
-         ms, "ms/solve")
+         ms + setup, "ms/solve")
 
     # 9. genome-scale CI writer: 1M x 2 "(lo, hi)" cells to CSV
     # (io/writers.write_ci_profile vectorized string assembly — host)

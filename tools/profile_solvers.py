@@ -21,7 +21,7 @@ from demethify_tpu.solvers import fused  # noqa: E402
 ITERS = 50
 
 
-def device_ms(tracedir, fn):
+def _device_durations(tracedir, fn):
     fn()  # warm
     with jax.profiler.trace(tracedir):
         fn()
@@ -32,14 +32,36 @@ def device_ms(tracedir, fn):
     pids = {e["pid"]: e["args"].get("name", "") for e in ev
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     dur = collections.Counter()
+    cnt = collections.Counter()
     for e in ev:
         if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
             if e["name"].startswith(("jit_", "while")):
                 continue
             dur[e["name"]] += e.get("dur", 0)
+            cnt[e["name"]] += 1
+    return dur, cnt
+
+
+def device_ms(tracedir, fn):
+    dur, _ = _device_durations(tracedir, fn)
     total = sum(dur.values())
     top = ", ".join(f"{n}={d/1e3:.2f}ms" for n, d in dur.most_common(4))
     return total / 1e3, top
+
+
+def device_ms_split(tracedir, fn, iters):
+    """(steady_ms, setup_ms, top): device time split into per-iteration
+    work (events firing >= iters/2 times — the while-loop body kernels)
+    and one-time setup (lane-padding, loop-invariant Gram precompute,
+    initial cost — events firing once). A small profile window otherwise
+    charges setup to the per-iter number: the 10M-site entry at 20 iters
+    carried ~13 ms of one-time pads/Grams, inflating ms/iter by ~19%
+    (round-4 BENCH_suite's '10M falloff' was partly this accounting)."""
+    dur, cnt = _device_durations(tracedir, fn)
+    steady = sum(d for n, d in dur.items() if cnt[n] >= max(2, iters // 2))
+    setup = sum(dur.values()) - steady
+    top = ", ".join(f"{n}={d/1e3:.2f}ms" for n, d in dur.most_common(4))
+    return steady / 1e3, setup / 1e3, top
 
 
 def main(which="all", storage=None, bf16_compute=False):
