@@ -124,6 +124,22 @@ class TestBootstrapCI:
             tmp_path / "confidence_interval_methylation_estimate.csv")
         assert ci_prof.shape == (350, 1)
 
+    def test_ci_svd_weights_mode(self, tmp_path):
+        # genome-scale CI layout with a deterministic init: shared
+        # full-data SVD init + per-replicate weighted solves
+        _run(tmp_path, "--ref", REF, "--nbunknown", "1",
+             "--init", "SVD", "--cimethod", "weights",
+             "--confidence", "90", "8", "--iterations", "200", "10")
+        ci = pd.read_csv(
+            tmp_path / "confidence_interval_celltypes_proportions.csv",
+            index_col=0)
+        assert ci.shape == (6, 10)
+        lo, hi = eval(ci.iloc[0, 0])
+        assert 0 <= lo <= hi <= 1
+        ci_prof = pd.read_csv(
+            tmp_path / "confidence_interval_methylation_estimate.csv")
+        assert ci_prof.shape == (350, 1)
+
     def test_ci_unsupervised(self, tmp_path):
         # the reference crashes on --confidence without --ref
         # (bootstrap.py:63, ref.shape with ref=None); fixed here

@@ -207,6 +207,18 @@ def main(out_path=None):
     emit("warm AIC sweep n_u=1..25, 350-site fixture scale",
          time.time() - t0, "s")
 
+    # 11. same-session hardware calibration: the solver rows above are
+    # HBM-bound and scale with the session chip's delivered bandwidth
+    # (ROADMAP round-5); this row makes the artifact self-normalizing
+    try:
+        from tools.hbm_calibrate import measured_bandwidth_gbs
+
+        emit("session chip: achieved HBM stream bandwidth",
+             measured_bandwidth_gbs(), "GB/s",
+             device=jax.devices()[0].device_kind)
+    except Exception as e:                      # probe is best-effort
+        print(f"calibration skipped: {e}", flush=True)
+
     if out_path:
         with open(out_path, "w") as f:
             json.dump(RESULTS, f, indent=1)
