@@ -218,7 +218,8 @@ MEGA_TILE = 24576   # measured best on v5e (0.191 vs 0.217 ms/iter at 16384)
 def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
                           rtt_ref, u_ref, up_ref,
                           u_out_ref, up_out_ref, gu_ref, bu_ref, usq_ref,
-                          *, n_steps, n_u, lagged, bf16_compute=False):
+                          *, n_steps, n_u, lagged, bf16_compute=False,
+                          packed_n_s=0):
     k = pl.program_id(0)
     a0_init = scal_ref[0, 0]
     l_w = scal_ref[0, 1]
@@ -234,8 +235,23 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     # accuracy change is bf16 rounding of dy/dresid/drt products
     # (flag-gated; default path is bit-identical to before).
     data_dt = yt_ref.dtype if bf16_compute else state_dt
-    yt = yt_ref[:].astype(data_dt)
-    dt = dt_ref[:].astype(data_dt)
+    # packed_n_s > 0: PACKED-IO mode — yt_ref is one (2 n_s, T) block
+    # holding [Y.T; D.T] and u_ref one (2 n_u, T) block holding
+    # [u; u_prev] (dt_ref/up_ref are None). Halves the async copies per
+    # grid step (7 -> 4 incl. the write-back): measured n_iter2=1 ==
+    # n_iter2=20 shows the kernel is DMA-issue-bound, not VPU-bound.
+    # Row-slicing a loaded VMEM block is value-exact, so trajectories
+    # are bit-identical to the unpacked layout.
+    if packed_n_s:
+        yd = yt_ref[:]
+        yt = yd[:packed_n_s].astype(data_dt)
+        dt = yd[packed_n_s:].astype(data_dt)
+        uu_in = u_ref[:]
+        u_ld, up_ld = uu_in[:n_u], uu_in[n_u:]
+    else:
+        yt = yt_ref[:].astype(data_dt)
+        dt = dt_ref[:].astype(data_dt)
+        u_ld, up_ld = u_ref[:], up_ref[:]
     a2b = a2b_ref[:]                      # (n_u, n_s)
 
     dy = dt * yt                          # reused by C and b_u
@@ -401,13 +417,13 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     # Long schedules (purity: 500) unroll in chunks inside the fori_loop
     # (Mosaic's scan lowering only supports unroll=1, so chunk manually).
     if component_lists:
-        u8 = fold(u_ref[:])
-        up8 = fold(up_ref[:])
+        u8 = fold(u_ld)
+        up8 = fold(up_ld)
         carry = (tuple(u8[i] for i in range(n_u)),
                  tuple(up8[i] for i in range(n_u)),
                  a0_init, l_w_prev0)
     else:
-        carry = (fold(u_ref[:]), fold(up_ref[:]), a0_init, l_w_prev0)
+        carry = (fold(u_ld), fold(up_ld), a0_init, l_w_prev0)
     if n_steps <= 64:
         for _ in range(n_steps):
             carry = body(None, carry)
@@ -429,8 +445,11 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
         up = jnp.concatenate([x[None] for x in up], axis=0)
     u = unfold(u)
     up = unfold(up)
-    u_out_ref[:] = u
-    up_out_ref[:] = up
+    if packed_n_s:
+        u_out_ref[:] = jnp.concatenate([u, up], axis=0)
+    else:
+        u_out_ref[:] = u
+        up_out_ref[:] = up
 
     # Gram partial sums with the NEW u (padded lanes have d = y = u = 0,
     # so they contribute nothing)
@@ -582,6 +601,112 @@ def u_phase_grams(yt, dt, rtt, a1_block, a2_block, ut, u_prev_t,
                                             (a, l_w_prev))
     return (u_new[:, :n], up_new[:, :n], a_new, l_w_prev_new,
             gu, b_u, usq[0, 0])
+
+
+def u_phase_grams_packed(ydt, rtt, a1_block, a2_block, uut,
+                         a, l_w, l_w_prev, n_steps: int, *,
+                         lagged: bool = False,
+                         bf16_compute: bool = False,
+                         tile: int = MEGA_TILE):
+    """PACKED-IO u_phase_grams: same math, fewer DMA streams.
+
+    ``ydt``: (2 n_s, npad) = [Y.T; D.T] packed once by the caller;
+    ``uut``: (2 n_u, npad) = [u; u_prev] carried packed through the
+    solver's while_loop (and donated whole). Per grid step the kernel
+    issues 3 reads + 1 write instead of 5 + 2 — the single-member
+    megakernel measures DMA-issue-bound (n_iter2=1 == n_iter2=20
+    device time, tools session notes), so transfers, not VPU work, set
+    its floor. Trajectories are bit-identical to u_phase_grams on the
+    unpacked operands (row-slicing a VMEM block is value-exact; pinned
+    by tests/test_pallas.py). Operands must arrive pre-padded to the
+    lane tile (the caller packs once at solver entry).
+
+    Returns (uut_new, a_new, l_w_prev_new, gu, b_u, usq).
+    """
+    n_u, n_s = a2_block.shape
+    npad = ydt.shape[-1]
+    grid = (npad // tile,)
+
+    state_dtype = uut.dtype
+    from demethify_tpu.ops.gram import accum_dtype
+    acc = accum_dtype(ydt)
+    bf16 = bool(bf16_compute) and jnp.dtype(ydt.dtype) == jnp.bfloat16
+    scal = jnp.reshape(jnp.stack([a.astype(state_dtype),
+                                  l_w.astype(state_dtype),
+                                  l_w_prev.astype(state_dtype)]), (1, 3))
+
+    lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, tile), lambda k: (0, k), memory_space=pltpu.VMEM)
+    full_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda k: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+
+    has_known = rtt is not None
+    n_ct = rtt.shape[0] if has_known else 0
+    p_r = n_ct + n_u
+
+    if has_known:
+        in_specs = [
+            pl.BlockSpec((1, 3), lambda k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            full_spec((n_ct, n_s)), full_spec((n_u, n_s)),
+            lane_spec(2 * n_s), lane_spec(n_ct), lane_spec(2 * n_u),
+        ]
+        args = (scal, a1_block, a2_block, ydt, rtt, uut)
+
+        def kern(scal_ref, a1_ref, a2b_ref, yd_ref, rtt_ref, uu_ref,
+                 *out_refs):
+            _u_phase_grams_kernel(scal_ref, a1_ref, a2b_ref, yd_ref,
+                                  None, rtt_ref, uu_ref, None,
+                                  out_refs[0], None, *out_refs[1:],
+                                  n_steps=n_steps, n_u=n_u,
+                                  lagged=lagged, bf16_compute=bf16,
+                                  packed_n_s=n_s)
+    else:
+        dummy = jnp.zeros((1, 1), state_dtype)
+        in_specs = [
+            pl.BlockSpec((1, 3), lambda k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            full_spec((1, 1)), full_spec((n_u, n_s)),
+            lane_spec(2 * n_s), lane_spec(2 * n_u),
+        ]
+        args = (scal, dummy, a2_block, ydt, uut)
+
+        def kern(scal_ref, _dummy, a2b_ref, yd_ref, uu_ref, *out_refs):
+            _u_phase_grams_kernel(scal_ref, None, a2b_ref, yd_ref,
+                                  None, None, uu_ref, None,
+                                  out_refs[0], None, *out_refs[1:],
+                                  n_steps=n_steps, n_u=n_u,
+                                  lagged=lagged, bf16_compute=bf16,
+                                  packed_n_s=n_s)
+
+    out_specs = [lane_spec(2 * n_u),
+                 full_spec((n_s, n_u, p_r)), full_spec((n_u, n_s)),
+                 full_spec((1, 1))]
+    n_in = len(args)
+    uu_new, gu, b_u, usq = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((2 * n_u, npad), state_dtype),
+                   jax.ShapeDtypeStruct((n_s, n_u, p_r), acc),
+                   jax.ShapeDtypeStruct((n_u, n_s), acc),
+                   jax.ShapeDtypeStruct((1, 1), acc)],
+        input_output_aliases={n_in - 1: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2 ** 20),
+        interpret=_interpret(),
+    )(*args)
+
+    def scal_body(_, carry):
+        a_, l_prev = carry
+        a1n = (1.0 + jnp.sqrt(1.0 + 4.0 * a_ * a_)) / 2.0
+        return (a1n, l_w)
+
+    a_new, l_w_prev_new = jax.lax.fori_loop(0, n_steps, scal_body,
+                                            (a, l_w_prev))
+    return uu_new, a_new, l_w_prev_new, gu, b_u, usq[0, 0]
 
 
 # ---------------------------------------------------------------------------

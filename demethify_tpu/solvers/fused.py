@@ -59,7 +59,11 @@ def _axis_max(x, axis_name):
 # tripwire contract as _MULTI_KERNEL_SRC_SHA1 below: auto_tile models
 # that kernel's VMEM temporaries, so a kernel edit must re-derive the
 # formula, re-run the hardware compile smoke, and touch this line.
-_MEGA_KERNEL_SRC_SHA1 = "d822636ac316"
+_MEGA_KERNEL_SRC_SHA1 = "b933b37813ff"
+# (round 5 packed-IO: the kernel also accepts [Y.T; D.T] / [u; u_prev]
+# packed blocks (packed_n_s>0) — same rows, same bytes, fewer DMA
+# streams; per-lane VMEM is unchanged, so auto_tile needs no new
+# branch.)
 # (round 5: bf16_compute flag added — the bf16 branch builds C as
 # c1 - c2 over (n_ct n_s, T) bf16 drt rows instead of the known/dresid
 # intermediates, because Mosaic requires 32-bit matmul accumulators —
@@ -111,13 +115,15 @@ def _cost_t(yt, dt, rt_full, alpha):
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
                                    "record_trace", "tile", "tol_relative",
-                                   "axis_name", "bf16_compute"))
+                                   "axis_name", "bf16_compute",
+                                   "packed_io"))
 def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
                             n_iter1: int = 10000, n_iter2: int = 20,
                             tol: float = 1e-2, record_trace: bool = False,
                             tile: int = 0, tol_relative: bool = False,
                             row_mask=None, axis_name=None,
-                            bf16_compute: bool = False):
+                            bf16_compute: bool = False,
+                            packed_io=None):
     """Drop-in equivalent of partial_ref_solve (same trajectory).
 
     With ``axis_name`` set the function runs inside shard_map over that
@@ -131,8 +137,21 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
     products for the halved-DMA bound (flag-gated accuracy change; the
     loop-invariant Grams and cost here keep f32 accumulation either
     way).
+
+    ``packed_io``: run the megakernel on PACKED blocks — [Y.T; D.T] as
+    one (2 n_s, N) array and [u; u_prev] as one (2 n_u, N) while-loop
+    carry — 3 reads + 1 write per grid step instead of 5 + 2. The
+    kernel is DMA-issue-bound (same device time at n_iter2=1 and 20),
+    so fewer transfers is the remaining lever: measured -9% device time
+    at 1M sites f32 (0.1988 -> 0.1806 ms/iter, v5e). Trajectory
+    bit-identical to the unpacked layout (tests pin it). Default (None)
+    = ON except for bf16 storage, where slicing the 20-row packed
+    block crosses bf16's (16, 128) sublane tile and measures SLOWER
+    than the unpacked layout (0.177 vs 0.158 ms/iter).
     """
     dtype = accum_dtype(y)
+    if packed_io is None:
+        packed_io = jnp.dtype(y.dtype) != jnp.bfloat16
     if tile == 0:
         tile = auto_tile(n_u, y.shape[1], R_trunc.shape[1],
                          itemsize=jnp.dtype(dtype).itemsize,
@@ -162,18 +181,34 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
 
+    if packed_io:
+        from demethify_tpu.ops.pallas_kernels import u_phase_grams_packed
+
+        ydt = jnp.concatenate([yt, dt], axis=0)       # (2 n_s, npad)
+        ustate0 = jnp.concatenate([ut, ut], axis=0)   # (2 n_u, npad)
+    else:
+        ustate0 = (ut, ut)
+
     def cond(carry):
-        (_, _, _, _, _, _, _, _, _, cf, cf_prev, k, _) = carry
+        (_, _, _, _, _, _, _, _, cf, cf_prev, k, _) = carry
         return (k < n_iter1) & (jnp.abs(cf - cf_prev) >= tol)
 
     def body(carry):
-        (ut, upt, alpha, alpha_prev, a1, a2,
+        (ustate, alpha, alpha_prev, a1, a2,
          l_w, l_w_prev, l_h_prev, cf, _, k, trace) = carry
 
-        ut, upt, a1, l_w_prev, gu, b_u, usq = u_phase_grams(
-            yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut, upt,
-            a1, l_w, l_w_prev, n_iter2, tile=tile,
-            bf16_compute=bf16_compute)
+        if packed_io:
+            ustate, a1, l_w_prev, gu, b_u, usq = u_phase_grams_packed(
+                ydt, rtt, alpha[:-n_u], alpha[-n_u:], ustate,
+                a1, l_w, l_w_prev, n_iter2, tile=tile,
+                bf16_compute=bf16_compute)
+        else:
+            ut_, upt_ = ustate
+            ut_, upt_, a1, l_w_prev, gu, b_u, usq = u_phase_grams(
+                yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut_, upt_,
+                a1, l_w, l_w_prev, n_iter2, tile=tile,
+                bf16_compute=bf16_compute)
+            ustate = (ut_, upt_)
         gu = _axis_sum(gu, axis_name)
         b_u = _axis_sum(b_u, axis_name)
         usq = _axis_sum(usq, axis_name)
@@ -185,16 +220,17 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
 
         if record_trace:
             trace = trace.at[k].set(cf_new)
-        return (ut, upt, alpha, alpha_prev, a1, a2,
+        return (ustate, alpha, alpha_prev, a1, a2,
                 l_w, l_w_prev, l_h_prev, cf_new, cf, k + 1, trace)
 
-    init = (ut, ut, alpha, alpha,
+    init = (ustate0, alpha, alpha,
             jnp.ones((), dtype), jnp.ones((), dtype),
             l_w0, l_w0, l_h0,
             cf0, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
             trace0)
     out = jax.lax.while_loop(cond, body, init)
-    ut, _, alpha, _, _, _, _, _, _, cf, _, k, trace = out
+    ustate, alpha, _, _, _, _, _, _, cf, _, k, trace = out
+    ut = ustate[:n_u] if packed_io else ustate[0]
     return ut[:, :n].T, alpha, {"cost": cf, "n_iter": k, "trace": trace}
 
 

@@ -105,6 +105,27 @@ class TestFusedSolvers:
         np.testing.assert_allclose(float(got[2]["cost"]),
                                    float(want[2]["cost"]), rtol=1e-9)
 
+    def test_packed_io_bit_identical(self, small_problem):
+        """packed_io (one [Y;D] block, one [u;u_prev] carry) must give
+        EXACTLY the unpacked trajectory — row-slicing a VMEM block is
+        value-exact."""
+        p = small_problem
+        y, d, Rt, n_u = p["y"], p["d"], p["R_trunc"], p["n_u"]
+        rng = np.random.default_rng(17)
+        u0 = rng.uniform(size=(y.shape[0], n_u))
+        a0 = rng.dirichlet(np.ones(Rt.shape[1] + n_u), size=y.shape[1]).T
+        args = [jnp.asarray(x) for x in (u0, a0, y, d, Rt)]
+        want = partial_ref_solve_fused(*args, n_u, n_iter1=15, n_iter2=6,
+                                       tol=1e-9)
+        got = partial_ref_solve_fused(*args, n_u, n_iter1=15, n_iter2=6,
+                                      tol=1e-9, packed_io=True)
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]),
+                                      np.asarray(want[1]))
+        assert float(got[2]["cost"]) == float(want[2]["cost"])
+        assert int(got[2]["n_iter"]) == int(want[2]["n_iter"])
+
     def test_unsupervised_trajectory(self, small_problem):
         p = small_problem
         y, d = p["y"], p["d"]

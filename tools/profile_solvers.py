@@ -64,7 +64,8 @@ def device_ms_split(tracedir, fn, iters):
     return steady / 1e3, setup / 1e3, top
 
 
-def main(which="all", storage=None, bf16_compute=False):
+def main(which="all", storage=None, bf16_compute=False,
+         packed_io=False):
     """``storage`` (e.g. jnp.bfloat16) casts the DATA arrays (Y, D, Rt)
     on device; the solver state (u, alpha) and all reductions stay f32
     (ops/gram.accum_dtype). bf16 storage halves the dominant HBM read
@@ -78,12 +79,15 @@ def main(which="all", storage=None, bf16_compute=False):
     tag = "" if storage is None else f" [{jnp.dtype(storage).name} storage]"
     if bf16_compute:
         tag += " [bf16 compute]"
+    if packed_io:
+        tag += " [packed io]"
     if which in ("all", "partial"):
         ms, top = device_ms("/tmp/prof_pr", lambda: float(
             fused.partial_ref_solve_fused(uj, aj, yj, dj, Rtj, N_U,
                                           n_iter1=ITERS, n_iter2=N_INNER,
                                           tol=0.0,
-                                          bf16_compute=bf16_compute
+                                          bf16_compute=bf16_compute,
+                                          packed_io=packed_io
                                           )[2]["cost"]))
         print(f"partial-ref fused{tag}: {ms/ITERS:.4f} ms/iter [{top}]",
               flush=True)
@@ -166,5 +170,9 @@ if __name__ == "__main__":
         main("partial", storage=jnp.bfloat16)
     elif which == "bf16compute":
         main("partial", storage=jnp.bfloat16, bf16_compute=True)
+    elif which == "packed":
+        main("partial", packed_io=True)
+    elif which == "packed_bf16":
+        main("partial", storage=jnp.bfloat16, packed_io=True)
     else:
         main(which)
