@@ -798,7 +798,8 @@ def grams(yt, dt, rt, *, tile: int = LANE_TILE):
 # ---------------------------------------------------------------------------
 
 
-def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
+def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, wk_ref,
+                                yt_ref, dt_ref,
                                 rtt_ref, w_ref, u_ref, up_ref,
                                 u_out_ref, up_out_ref, gu_ref, bu_ref,
                                 usq_ref, *, n_steps, n_u, n_b, lagged):
@@ -819,8 +820,20 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
         # sublane concat, no lane-axis reshape (Mosaic-safe).
         drt = jnp.concatenate(
             [dt * rtt[cc][None, :] for cc in range(n_ct)], axis=0)
+        drt1 = None
+    elif rtt is not None:
+        # n_u = 1 (round 5): s-major drt rows drt1[s*n_ct + c] =
+        # d[s]*rtt[c], shared by the C build's c2 dot (against the
+        # host-precomputed wk weights) AND the gram known block below —
+        # replacing the per-tile w_known/h temporaries and the 4D
+        # rtt*h reduction of the round-3 layout (those small-array 4D
+        # broadcast/reduce ops were per-TILE relayout churn).
+        drt = None
+        drt1 = (dt[:, None, :] * rtt[None, :, :]).reshape(
+            n_s * n_ct, T)
     else:
         drt = None
+        drt1 = None
 
     # per-member FISTA scalars as (B, 1) columns (vector unit friendly);
     # scal rows: (a0, l_w, l_w_prev, active)
@@ -853,20 +866,21 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
         return jax.lax.fori_loop(0, n_steps // chunk, chunk_body, carry)
 
     if n_u == 1:
-        # closed-form n_u = 1 path on (B, 1, T) blocks (round-3 layout,
-        # measured at the VPU floor for this shape)
+        # closed-form n_u = 1 path on (B, 1, T) blocks. The FISTA step
+        # is the round-3 layout (measured at the VPU floor); the C
+        # build's known-block term is the round-5 rework — one (B,
+        # n_s n_ct) x (n_s n_ct, T) dot against the shared drt1 rows,
+        # with the wk weights (wk[b, s*n_ct+c] = a2[b,0,s]*a1[b,c,s])
+        # PRECOMPUTED per outer iteration by the wrapper instead of
+        # rebuilt per tile.
         a2_rows = a2b.reshape(n_b * n_u, n_s)
         c1 = jax.lax.dot_general(a2_rows, dy, (((1,), (0,)), ((), ())),
                                  preferred_element_type=state_dt)
-        c = c1.reshape(n_b, n_u, T)
         if rtt is not None:
-            w_known = (a2b[:, :, None, :] * a1b_ref[:][:, None, :, :]
-                       ).reshape(n_b * n_u * n_ct, n_s)
-            h = jax.lax.dot_general(
-                w_known, dt, (((1,), (0,)), ((), ())),
-                preferred_element_type=state_dt).reshape(
-                n_b, n_u, n_ct, T)
-            c = c - jnp.sum(rtt[None, None] * h, axis=2)
+            c1 = c1 - jax.lax.dot_general(
+                wk_ref[:], drt1, (((1,), (0,)), ((), ())),
+                preferred_element_type=state_dt)
+        c = c1.reshape(n_b, n_u, T)
         w2 = (a2b[:, :, None, :] * a2b[:, None, :, :]).reshape(
             n_b * n_u * n_u, n_s)
         m = jax.lax.dot_general(w2, dt, (((1,), (0,)), ((), ())),
@@ -999,10 +1013,9 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
         lhs = jnp.concatenate([u_rows_w, usq_rows], axis=0)
         rhs_parts = []
         if rtt is not None:
-            drt = (dt.astype(acc)[:, None, :]
-                   * rtt.astype(acc)[None, :, :]).reshape(
-                n_s * n_ct_loc, T)
-            rhs_parts.append(drt)
+            # drt1 built once above (shared with the C build's c2 dot);
+            # state dtype == acc in this kernel (checked by the wrapper)
+            rhs_parts.append(drt1.astype(acc))
         rhs_parts += [dy.astype(acc), dt.astype(acc),
                       jnp.ones((1, T), acc)]
         rhs = jnp.concatenate(rhs_parts, axis=0)
@@ -1141,6 +1154,16 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
     n_ct = rtt.shape[0] if has_known else 0
     p_r = n_ct + n_u
 
+    # n_u = 1 known-block C weights, precomputed ONCE per outer
+    # iteration (tiny XLA op) instead of rebuilt per tile inside the
+    # kernel: wk[b, s*n_ct + c] = a2_b[b, 0, s] * a1_b[b, c, s],
+    # s-major to match the kernel's shared drt1 rows.
+    has_wk = has_known and n_u == 1
+    if has_wk:
+        wk = (jnp.swapaxes(a1_b, 1, 2)
+              * a2_b[:, 0, :, None]).reshape(n_b, n_s * n_ct)
+        wk = wk.astype(state_dtype)
+
     if has_known:
         rtt, _ = _pad_lanes(rtt, tile)
         in_specs = [full_spec((n_b, 4)), full_spec((n_b, n_ct, n_s)),
@@ -1153,6 +1176,9 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
                     full_spec((n_b, n_u, n_s)),
                     lane2(n_s), lane2(n_s)]
         args = [scal, dummy, a2_b, yt, dt]
+    if has_wk:
+        in_specs.append(full_spec((n_b, n_s * n_ct)))
+        args.append(wk)
     if has_w:
         wt, _ = _pad_lanes(weights, tile)             # (B, npad)
         in_specs.append(lane2(n_b))
@@ -1166,6 +1192,10 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
         if has_known:
             rtt_ref = rest[i]
             i += 1
+        wk_ref = None
+        if has_wk:
+            wk_ref = rest[i]
+            i += 1
         w_ref = None
         if has_w:
             w_ref = rest[i]
@@ -1173,8 +1203,8 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
         u_ref, up_ref = rest[i], rest[i + 1]
         out_refs = rest[i + 2:]
         _u_phase_grams_multi_kernel(
-            scal_ref, a1_ref if has_known else None, a2b_ref, yt_ref,
-            dt_ref, rtt_ref, w_ref, u_ref, up_ref, *out_refs,
+            scal_ref, a1_ref if has_known else None, a2b_ref, wk_ref,
+            yt_ref, dt_ref, rtt_ref, w_ref, u_ref, up_ref, *out_refs,
             n_steps=n_steps, n_u=n_u, n_b=n_b, lagged=lagged)
 
     # flat 2D gram outputs (Mosaic-friendly layouts; see the kernel's
