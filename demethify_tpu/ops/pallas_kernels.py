@@ -798,7 +798,7 @@ def grams(yt, dt, rt, *, tile: int = LANE_TILE):
 # ---------------------------------------------------------------------------
 
 
-def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, wk_ref,
+def _u_phase_grams_multi_kernel(scal_ref, aw_ref, wk_ref,
                                 yt_ref, dt_ref,
                                 rtt_ref, w_ref, u_ref, up_ref,
                                 u_out_ref, up_out_ref, gu_ref, bu_ref,
@@ -807,7 +807,17 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, wk_ref,
     state_dt = u_ref.dtype
     yt = yt_ref[:].astype(state_dt)
     dt = dt_ref[:].astype(state_dt)
-    a2b = a2b_ref[:]                          # (B, n_u, n_s)
+    # aw_ref ((n_u + n_u^2) B, n_s): the per-member FISTA weight rows
+    # [a2 (u-major) ; a2_i*a2_j ((i,j)-major)], and wk_ref (known block
+    # only) the C-term weights — all PRECOMPUTED once per outer
+    # iteration by the wrapper (round 5). The round-3/4 kernels rebuilt
+    # these from (B, n_u, n_s) alpha blocks with 4D broadcast/concat
+    # small-array ops PER TILE; Mosaic's relayouts on those dominated
+    # the per-iteration cost (~0.5 ms/iter at B=16, n_u=1 — measured
+    # via the n_iter2 sweep).
+    aw = aw_ref[:]
+    a2_um = aw[:n_u * n_b]                    # (n_u B, n_s)
+    w2_um = aw[n_u * n_b:]                    # (n_u^2 B, n_s)
     dy = dt * yt
     T = dt.shape[-1]
     n_s = dt.shape[0]
@@ -873,17 +883,14 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, wk_ref,
         # with the wk weights (wk[b, s*n_ct+c] = a2[b,0,s]*a1[b,c,s])
         # PRECOMPUTED per outer iteration by the wrapper instead of
         # rebuilt per tile.
-        a2_rows = a2b.reshape(n_b * n_u, n_s)
-        c1 = jax.lax.dot_general(a2_rows, dy, (((1,), (0,)), ((), ())),
+        c1 = jax.lax.dot_general(a2_um, dy, (((1,), (0,)), ((), ())),
                                  preferred_element_type=state_dt)
         if rtt is not None:
             c1 = c1 - jax.lax.dot_general(
                 wk_ref[:], drt1, (((1,), (0,)), ((), ())),
                 preferred_element_type=state_dt)
         c = c1.reshape(n_b, n_u, T)
-        w2 = (a2b[:, :, None, :] * a2b[:, None, :, :]).reshape(
-            n_b * n_u * n_u, n_s)
-        m = jax.lax.dot_general(w2, dt, (((1,), (0,)), ((), ())),
+        m = jax.lax.dot_general(w2_um, dt, (((1,), (0,)), ((), ())),
                                 preferred_element_type=state_dt)
         kc = c * rcp[:, :, None]
         km = m.reshape(n_b, n_u, n_u, T) * rcp[:, :, None, None]
@@ -922,29 +929,21 @@ def _u_phase_grams_multi_kernel(scal_ref, a1b_ref, a2b_ref, wk_ref,
         # exactly once, outside the loop). All C/M dots are built in
         # u-major row order so each component block is a CONTIGUOUS
         # (B, T) row slice of the dot result — no relayout at all.
-        a2_cols = [a2b[:, i, :] for i in range(n_u)]       # (B, n_s)
-        a2_um = jnp.concatenate(a2_cols, axis=0)           # u-major rows
+        # Weight rows (a2_um / w2_um / wk) arrive precomputed (round 5,
+        # see the aw_ref comment above).
         c1 = jax.lax.dot_general(a2_um, dy, (((1,), (0,)), ((), ())),
                                  preferred_element_type=state_dt)
         if rtt is not None:
             # c2[(u,b)] = sum_{c,s} (a2[b,u,s] a1[b,c,s]) (d[s] rtt[c]):
-            # ONE dot of a tiny (n_u B, n_ct n_s) weight block against
-            # drt (columns lane-concatenated per c to match drt's
-            # c-major rows — no lane-merging reshape)
-            a1b = a1b_ref[:]
-            wk = jnp.concatenate(
-                [jnp.concatenate(
-                    [a2_cols[i] * a1b[:, cc, :] for i in range(n_u)],
-                    axis=0) for cc in range(n_ct)], axis=1)
-            c2 = jax.lax.dot_general(wk, drt, (((1,), (0,)), ((), ())),
+            # ONE dot of the tiny (n_u B, n_ct n_s) wk block against
+            # drt (wk columns c-major to match drt's c-major rows)
+            c2 = jax.lax.dot_general(wk_ref[:], drt,
+                                     (((1,), (0,)), ((), ())),
                                      preferred_element_type=state_dt)
             cr = c1 - c2
         else:
             cr = c1
         # m[(i,j,b)] = sum_s a2[b,i,s] a2[b,j,s] d[s] — (i,j)-major rows
-        w2_um = jnp.concatenate(
-            [a2_cols[i] * a2_cols[j]
-             for i in range(n_u) for j in range(n_u)], axis=0)
         m_um = jax.lax.dot_general(w2_um, dt, (((1,), (0,)), ((), ())),
                                    preferred_element_type=state_dt)
         # affine-folded step coefficients, one (B, T) block per (i, j):
@@ -1154,30 +1153,45 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
     n_ct = rtt.shape[0] if has_known else 0
     p_r = n_ct + n_u
 
-    # n_u = 1 known-block C weights, precomputed ONCE per outer
-    # iteration (tiny XLA op) instead of rebuilt per tile inside the
-    # kernel: wk[b, s*n_ct + c] = a2_b[b, 0, s] * a1_b[b, c, s],
-    # s-major to match the kernel's shared drt1 rows.
-    has_wk = has_known and n_u == 1
+    # Per-member FISTA weight rows, precomputed ONCE per outer
+    # iteration (tiny XLA ops) instead of rebuilt per tile inside the
+    # kernel (round 5 — the in-kernel 4D broadcast/concat builds were
+    # Mosaic relayout churn, ~0.5 ms/outer-iter at B=16):
+    #   aw = [a2 rows (u-major) ; a2_i*a2_j rows ((i,j)-major)]
+    #   wk = the known-block C weights a2[b,u,s]*a1[b,c,s] — s-major
+    #        columns at n_u = 1 (matching the kernel's s-major drt1),
+    #        c-major at n_u >= 2 (matching its c-major drt)
+    a2_cols = [a2_b[:, i, :] for i in range(n_u)]
+    aw = jnp.concatenate(
+        [jnp.concatenate(a2_cols, axis=0)]
+        + [a2_cols[i] * a2_cols[j]
+           for i in range(n_u) for j in range(n_u)],
+        axis=0).astype(state_dtype)        # ((n_u + n_u^2) B, n_s)
+    has_wk = has_known
     if has_wk:
-        wk = (jnp.swapaxes(a1_b, 1, 2)
-              * a2_b[:, 0, :, None]).reshape(n_b, n_s * n_ct)
-        wk = wk.astype(state_dtype)
+        if n_u == 1:
+            wk = (jnp.swapaxes(a1_b, 1, 2)
+                  * a2_b[:, 0, :, None]).reshape(n_b, n_s * n_ct)
+        else:
+            wk = jnp.concatenate(
+                [jnp.concatenate(
+                    [a2_cols[i] * a1_b[:, cc, :] for i in range(n_u)],
+                    axis=0) for cc in range(n_ct)], axis=1)
+        wk = wk.astype(state_dtype)        # (n_u B, n_ct n_s)
 
     if has_known:
         rtt, _ = _pad_lanes(rtt, tile)
-        in_specs = [full_spec((n_b, 4)), full_spec((n_b, n_ct, n_s)),
-                    full_spec((n_b, n_u, n_s)),
+        in_specs = [full_spec((n_b, 4)),
+                    full_spec(((n_u + n_u * n_u) * n_b, n_s)),
                     lane2(n_s), lane2(n_s), lane2(n_ct)]
-        args = [scal, a1_b, a2_b, yt, dt, rtt]
+        args = [scal, aw, yt, dt, rtt]
     else:
-        dummy = jnp.zeros((1, 1), state_dtype)
-        in_specs = [full_spec((n_b, 4)), full_spec((1, 1)),
-                    full_spec((n_b, n_u, n_s)),
+        in_specs = [full_spec((n_b, 4)),
+                    full_spec(((n_u + n_u * n_u) * n_b, n_s)),
                     lane2(n_s), lane2(n_s)]
-        args = [scal, dummy, a2_b, yt, dt]
+        args = [scal, aw, yt, dt]
     if has_wk:
-        in_specs.append(full_spec((n_b, n_s * n_ct)))
+        in_specs.append(full_spec(wk.shape))
         args.append(wk)
     if has_w:
         wt, _ = _pad_lanes(weights, tile)             # (B, npad)
@@ -1186,7 +1200,7 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
     in_specs += [lane3, lane3]
     args += [ut_b, u_prev_b]
 
-    def kern(scal_ref, a1_ref, a2b_ref, yt_ref, dt_ref, *rest):
+    def kern(scal_ref, aw_ref, yt_ref, dt_ref, *rest):
         i = 0
         rtt_ref = None
         if has_known:
@@ -1203,7 +1217,7 @@ def u_phase_grams_multi(yt, dt, rtt, a1_b, a2_b, ut_b, u_prev_b,
         u_ref, up_ref = rest[i], rest[i + 1]
         out_refs = rest[i + 2:]
         _u_phase_grams_multi_kernel(
-            scal_ref, a1_ref if has_known else None, a2b_ref, wk_ref,
+            scal_ref, aw_ref, wk_ref,
             yt_ref, dt_ref, rtt_ref, w_ref, u_ref, up_ref, *out_refs,
             n_steps=n_steps, n_u=n_u, n_b=n_b, lagged=lagged)
 

@@ -657,13 +657,17 @@ def _purity_multi_sharded_fn(mesh, n_u, n_iter1, n_iter2, tol,
 # changes without this line being touched: re-derive the byte formula,
 # re-run `timeout 3000 python tools/tpu_compile_smoke.py` (10/10 OK),
 # then update the hash.
-_MULTI_KERNEL_SRC_SHA1 = "d361b5b36052"
-# (round 5: the n_u = 1 known-block C term is now one dot of
-# host-precomputed wk weights against s-major drt1 rows shared with
-# the gram section — replacing the per-tile w_known/h temporaries
-# (n_b n_ct rows, never in the byte model) and the 4D rtt*h reduce;
-# per-lane footprint is unchanged-or-smaller, so _multi_bytes_per_lane
-# needs no new term. Hardware compile smoke re-run.)
+_MULTI_KERNEL_SRC_SHA1 = "7cb40805969d"
+# (round 5: EVERY per-member FISTA weight block (a2 rows, a2_i*a2_j
+# rows, and the known-block C weights wk) is precomputed once per
+# outer iteration by the wrapper and passed in; the n_u = 1 known
+# C term is one wk x drt1 dot with the s-major drt1 rows shared with
+# the gram section — replacing the per-tile w_known/h temporaries and
+# 4D broadcast/concat builds (Mosaic relayout churn, ~0.5 ms/iter at
+# B=16). Per-lane footprint unchanged-or-smaller (the removed
+# temporaries were small-array, never in the byte model), so
+# _multi_bytes_per_lane needs no new term. Hardware compile smoke
+# re-run.)
 
 
 def _multi_bytes_per_lane(n_b: int, n_u: int, n_s: int, n_ct: int,
