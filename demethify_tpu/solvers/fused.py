@@ -236,15 +236,19 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
                                    "record_trace", "tile", "tol_relative",
-                                   "axis_name"))
+                                   "axis_name", "packed_io"))
 def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
                              n_iter1: int = 10000, n_iter2: int = 20,
                              tol: float = 1e-2,
                              record_trace: bool = False,
                              tile: int = 0, tol_relative: bool = False,
-                             axis_name=None):
-    """Fused unsupervised NMF (R = U, lagged-gradient quirk preserved)."""
+                             axis_name=None, packed_io=None):
+    """Fused unsupervised NMF (R = U, lagged-gradient quirk preserved).
+    ``packed_io`` as in partial_ref_solve_fused (default: on except
+    bf16 storage)."""
     dtype = accum_dtype(y)
+    if packed_io is None:
+        packed_io = jnp.dtype(y.dtype) != jnp.bfloat16
     if tile == 0:
         tile = auto_tile(n_u, y.shape[1],
                          itemsize=jnp.dtype(dtype).itemsize)
@@ -266,17 +270,32 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
 
+    if packed_io:
+        from demethify_tpu.ops.pallas_kernels import u_phase_grams_packed
+
+        ydt = jnp.concatenate([yt, dt], axis=0)
+        ustate0 = jnp.concatenate([ut, ut], axis=0)
+    else:
+        ustate0 = (ut, ut)
+
     def cond(carry):
-        (_, _, _, _, _, _, _, _, _, cf, cf_prev, k, _) = carry
+        (_, _, _, _, _, _, _, _, cf, cf_prev, k, _) = carry
         return (k < n_iter1) & (jnp.abs(cf - cf_prev) >= tol)
 
     def body(carry):
-        (ut, upt, alpha, alpha_prev, a1, a2,
+        (ustate, alpha, alpha_prev, a1, a2,
          l_w, l_w_prev, l_h_prev, cf, _, k, trace) = carry
 
-        ut, upt, a1, l_w_prev, gu, b_u, usq = u_phase_grams(
-            yt, dt, None, None, alpha, ut, upt,
-            a1, l_w, l_w_prev, n_iter2, lagged=True, tile=tile)
+        if packed_io:
+            ustate, a1, l_w_prev, gu, b_u, usq = u_phase_grams_packed(
+                ydt, None, None, alpha, ustate,
+                a1, l_w, l_w_prev, n_iter2, lagged=True, tile=tile)
+        else:
+            ut_, upt_ = ustate
+            ut_, upt_, a1, l_w_prev, gu, b_u, usq = u_phase_grams(
+                yt, dt, None, None, alpha, ut_, upt_,
+                a1, l_w, l_w_prev, n_iter2, lagged=True, tile=tile)
+            ustate = (ut_, upt_)
         gu = _axis_sum(gu, axis_name)
         b_u = _axis_sum(b_u, axis_name)
         usq = _axis_sum(usq, axis_name)
@@ -287,29 +306,36 @@ def unsupervised_solve_fused(u, alpha, y, d, n_u: int,
 
         if record_trace:
             trace = trace.at[k].set(cf_new)
-        return (ut, upt, alpha, alpha_prev, a1, a2,
+        return (ustate, alpha, alpha_prev, a1, a2,
                 l_w, l_w_prev, l_h_prev, cf_new, cf, k + 1, trace)
 
-    init = (ut, ut, alpha, alpha,
+    init = (ustate0, alpha, alpha,
             jnp.ones((), dtype), jnp.ones((), dtype),
             l_w0, l_w0, l_h0,
             cf0, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
             trace0)
     out = jax.lax.while_loop(cond, body, init)
-    ut, _, alpha, _, _, _, _, _, _, cf, _, k, trace = out
+    ustate, alpha, _, _, _, _, _, _, cf, _, k, trace = out
+    ut = ustate[:n_u] if packed_io else ustate[0]
     return ut[:, :n].T, alpha, {"cost": cf, "n_iter": k, "trace": trace}
 
 
 @partial(jax.jit, static_argnames=("n_u", "n_iter1", "n_iter2",
                                    "record_trace", "tile", "tol_relative",
-                                   "axis_name"))
+                                   "axis_name", "packed_io"))
 def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
                        n_iter1: int = 100, n_iter2: int = 500,
                        tol: float = 1e-2, record_trace: bool = False,
                        tile: int = 0, tol_relative: bool = False,
-                       axis_name=None):
-    """Fused purity-constrained solver (Frank-Wolfe alpha on Grams)."""
+                       axis_name=None, packed_io=None):
+    """Fused purity-constrained solver (Frank-Wolfe alpha on Grams).
+    ``packed_io`` as in partial_ref_solve_fused, but DEFAULT OFF here:
+    the purity schedule's 500-step U phase is VPU-bound, so the fewer
+    DMA streams buy nothing and the packed write-back costs ~2%
+    (measured 2.0006 vs 1.9656 ms/iter same-session)."""
     dtype = accum_dtype(y)
+    if packed_io is None:
+        packed_io = False
     if tile == 0:
         tile = auto_tile(n_u, y.shape[1], R_trunc.shape[1],
                          itemsize=jnp.dtype(dtype).itemsize)
@@ -335,16 +361,31 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
     trace0 = (jnp.full((n_iter1,), jnp.nan, dtype) if record_trace
               else jnp.zeros((0,), dtype))
 
+    if packed_io:
+        from demethify_tpu.ops.pallas_kernels import u_phase_grams_packed
+
+        ydt = jnp.concatenate([yt, dt], axis=0)
+        ustate0 = jnp.concatenate([ut, ut], axis=0)
+    else:
+        ustate0 = (ut, ut)
+
     def cond(carry):
-        (_, _, _, _, _, _, cf, cf_prev, k, _) = carry
+        (_, _, _, _, _, cf, cf_prev, k, _) = carry
         return (k < n_iter1) & (jnp.abs(cf - cf_prev) >= tol)
 
     def body(carry):
-        (ut, upt, alpha, a1, l_w, l_w_prev, cf, _, k, trace) = carry
+        (ustate, alpha, a1, l_w, l_w_prev, cf, _, k, trace) = carry
 
-        ut, upt, a1, l_w_prev, gu, b_u, _ = u_phase_grams(
-            yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut, upt,
-            a1, l_w, l_w_prev, n_iter2, tile=tile)
+        if packed_io:
+            ustate, a1, l_w_prev, gu, b_u, _ = u_phase_grams_packed(
+                ydt, rtt, alpha[:-n_u], alpha[-n_u:], ustate,
+                a1, l_w, l_w_prev, n_iter2, tile=tile)
+        else:
+            ut_, upt_ = ustate
+            ut_, upt_, a1, l_w_prev, gu, b_u, _ = u_phase_grams(
+                yt, dt, rtt, alpha[:-n_u], alpha[-n_u:], ut_, upt_,
+                a1, l_w, l_w_prev, n_iter2, tile=tile)
+            ustate = (ut_, upt_)
         gu = _axis_sum(gu, axis_name)
         b_u = _axis_sum(b_u, axis_name)
 
@@ -353,14 +394,15 @@ def purity_solve_fused(u, alpha, y, d, R_trunc, purity, n_u: int,
 
         if record_trace:
             trace = trace.at[k].set(cf_new)
-        return (ut, upt, alpha, a1, l_w, l_w_prev, cf_new, cf, k + 1,
+        return (ustate, alpha, a1, l_w, l_w_prev, cf_new, cf, k + 1,
                 trace)
 
-    init = (ut, ut, alpha, jnp.ones((), dtype),
+    init = (ustate0, alpha, jnp.ones((), dtype),
             l_w0, l_w0, cf0, jnp.asarray(jnp.inf, dtype),
             jnp.zeros((), jnp.int32), trace0)
     out = jax.lax.while_loop(cond, body, init)
-    ut, _, alpha, _, _, _, cf, _, k, trace = out
+    ustate, alpha, _, _, _, cf, _, k, trace = out
+    ut = ustate[:n_u] if packed_io else ustate[0]
     return ut[:, :n].T, alpha, {"cost": cf, "n_iter": k, "trace": trace}
 
 

@@ -116,7 +116,7 @@ class TestFusedSolvers:
         a0 = rng.dirichlet(np.ones(Rt.shape[1] + n_u), size=y.shape[1]).T
         args = [jnp.asarray(x) for x in (u0, a0, y, d, Rt)]
         want = partial_ref_solve_fused(*args, n_u, n_iter1=15, n_iter2=6,
-                                       tol=1e-9)
+                                       tol=1e-9, packed_io=False)
         got = partial_ref_solve_fused(*args, n_u, n_iter1=15, n_iter2=6,
                                       tol=1e-9, packed_io=True)
         np.testing.assert_array_equal(np.asarray(got[0]),
@@ -125,6 +125,41 @@ class TestFusedSolvers:
                                       np.asarray(want[1]))
         assert float(got[2]["cost"]) == float(want[2]["cost"])
         assert int(got[2]["n_iter"]) == int(want[2]["n_iter"])
+
+    def test_packed_io_bit_identical_unsup_purity(self, small_problem):
+        from demethify_tpu.solvers.fused import (
+            purity_solve_fused,
+            unsupervised_solve_fused,
+        )
+        p = small_problem
+        y, d, Rt, n_u = p["y"], p["d"], p["R_trunc"], p["n_u"]
+        rng = np.random.default_rng(19)
+        u0 = jnp.asarray(rng.uniform(size=(y.shape[0], n_u)))
+        a0u = jnp.asarray(rng.dirichlet(np.ones(n_u), size=y.shape[1]).T)
+        kw = dict(n_iter1=10, n_iter2=6, tol=1e-9)
+        want = unsupervised_solve_fused(u0, a0u, jnp.asarray(y),
+                                        jnp.asarray(d), n_u,
+                                        packed_io=False, **kw)
+        got = unsupervised_solve_fused(u0, a0u, jnp.asarray(y),
+                                       jnp.asarray(d), n_u,
+                                       packed_io=True, **kw)
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(want[0]))
+        assert float(got[2]["cost"]) == float(want[2]["cost"])
+
+        a0p = jnp.asarray(rng.dirichlet(
+            np.ones(Rt.shape[1] + n_u), size=y.shape[1]).T)
+        purity = jnp.asarray(rng.uniform(0.3, 0.7, size=y.shape[1]))
+        kwp = dict(n_iter1=4, n_iter2=10, tol=1e-9)
+        want = purity_solve_fused(u0, a0p, jnp.asarray(y),
+                                  jnp.asarray(d), jnp.asarray(Rt),
+                                  purity, n_u, packed_io=False, **kwp)
+        got = purity_solve_fused(u0, a0p, jnp.asarray(y),
+                                 jnp.asarray(d), jnp.asarray(Rt),
+                                 purity, n_u, packed_io=True, **kwp)
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(want[0]))
+        assert float(got[2]["cost"]) == float(want[2]["cost"])
 
     def test_unsupervised_trajectory(self, small_problem):
         p = small_problem

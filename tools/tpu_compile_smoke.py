@@ -60,6 +60,10 @@ check("single partial n_u=2 unpacked",
 check("single unsup lagged n_u=2",
       lambda: fused.unsupervised_solve_fused(
           u01[0], au1[0], y1, d1, 2, n_iter1=2, n_iter2=3, tol=0.0))
+check("single unsup lagged n_u=2 unpacked",
+      lambda: fused.unsupervised_solve_fused(
+          u01[0], au1[0], y1, d1, 2, n_iter1=2, n_iter2=3, tol=0.0,
+          packed_io=False))
 y5, d5, Rt5, u05, a05, au5, _ = mk(5)
 check("single unsup direct n_u=5",
       lambda: fused.unsupervised_solve_fused(
