@@ -65,7 +65,7 @@ def device_ms_split(tracedir, fn, iters):
 
 
 def main(which="all", storage=None, bf16_compute=False,
-         packed_io=False):
+         packed_io=None):
     """``storage`` (e.g. jnp.bfloat16) casts the DATA arrays (Y, D, Rt)
     on device; the solver state (u, alpha) and all reductions stay f32
     (ops/gram.accum_dtype). bf16 storage halves the dominant HBM read
