@@ -235,28 +235,34 @@ def _u_phase_grams_kernel(scal_ref, a1b_ref, a2b_ref, yt_ref, dt_ref,
     # accuracy change is bf16 rounding of dy/dresid/drt products
     # (flag-gated; default path is bit-identical to before).
     data_dt = yt_ref.dtype if bf16_compute else state_dt
-    # packed_n_s > 0: PACKED-IO mode — yt_ref is one (2 n_s, T) block
-    # holding [Y.T; D.T] and u_ref one (2 n_u, T) block holding
-    # [u; u_prev] (dt_ref/up_ref are None). Halves the async copies per
-    # grid step (7 -> 4 incl. the write-back): measured n_iter2=1 ==
+    # packed_n_s > 0: PACKED-IO mode — yt_ref is one block holding
+    # [Y.T; D.T] (+ the Rt.T rows when the block is taller than
+    # 2 n_s) and u_ref one (2 n_u, T) block holding [u; u_prev]
+    # (dt_ref/rtt_ref/up_ref are None). Cuts the async copies per grid
+    # step (7 -> 4, or 3 with Rt folded in): measured n_iter2=1 ==
     # n_iter2=20 shows the kernel is DMA-issue-bound, not VPU-bound.
     # Row-slicing a loaded VMEM block is value-exact, so trajectories
     # are bit-identical to the unpacked layout.
     if packed_n_s:
         yd = yt_ref[:]
         yt = yd[:packed_n_s].astype(data_dt)
-        dt = yd[packed_n_s:].astype(data_dt)
+        dt = yd[packed_n_s:2 * packed_n_s].astype(data_dt)
+        rtt_raw = (yd[2 * packed_n_s:]
+                   if yd.shape[0] > 2 * packed_n_s else None)
         uu_in = u_ref[:]
         u_ld, up_ld = uu_in[:n_u], uu_in[n_u:]
     else:
         yt = yt_ref[:].astype(data_dt)
         dt = dt_ref[:].astype(data_dt)
+        rtt_raw = None
         u_ld, up_ld = u_ref[:], up_ref[:]
+    if rtt_ref is not None:
+        rtt_raw = rtt_ref[:]
     a2b = a2b_ref[:]                      # (n_u, n_s)
 
     dy = dt * yt                          # reused by C and b_u
-    if rtt_ref is not None:
-        rtt = rtt_ref[:].astype(data_dt)
+    if rtt_raw is not None:
+        rtt = rtt_raw.astype(data_dt)
         if bf16_compute:
             # Mosaic requires 32-bit matmul accumulators, so a bf16
             # `known` block is not expressible — and an f32 one would
@@ -641,11 +647,32 @@ def u_phase_grams_packed(ydt, rtt, a1_block, a2_block, uut,
         shape, lambda k: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
 
-    has_known = rtt is not None
-    n_ct = rtt.shape[0] if has_known else 0
+    # known block: either a separate rtt stream (default — measured
+    # fastest) or folded into ydt as extra rows (rtt=None with
+    # a1_block given; ydt taller than 2 n_s)
+    rt_folded = rtt is None and a1_block is not None
+    has_known = rtt is not None or rt_folded
+    n_ct = (ydt.shape[0] - 2 * n_s) if rt_folded else (
+        rtt.shape[0] if has_known else 0)
     p_r = n_ct + n_u
 
-    if has_known:
+    if rt_folded:
+        in_specs = [
+            pl.BlockSpec((1, 3), lambda k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            full_spec((n_ct, n_s)), full_spec((n_u, n_s)),
+            lane_spec(2 * n_s + n_ct), lane_spec(2 * n_u),
+        ]
+        args = (scal, a1_block, a2_block, ydt, uut)
+
+        def kern(scal_ref, a1_ref, a2b_ref, yd_ref, uu_ref, *out_refs):
+            _u_phase_grams_kernel(scal_ref, a1_ref, a2b_ref, yd_ref,
+                                  None, None, uu_ref, None,
+                                  out_refs[0], None, *out_refs[1:],
+                                  n_steps=n_steps, n_u=n_u,
+                                  lagged=lagged, bf16_compute=bf16,
+                                  packed_n_s=n_s)
+    elif has_known:
         in_specs = [
             pl.BlockSpec((1, 3), lambda k: (0, 0),
                          memory_space=pltpu.SMEM),

@@ -59,7 +59,7 @@ def _axis_max(x, axis_name):
 # tripwire contract as _MULTI_KERNEL_SRC_SHA1 below: auto_tile models
 # that kernel's VMEM temporaries, so a kernel edit must re-derive the
 # formula, re-run the hardware compile smoke, and touch this line.
-_MEGA_KERNEL_SRC_SHA1 = "b933b37813ff"
+_MEGA_KERNEL_SRC_SHA1 = "070cba369419"
 # (round 5 packed-IO: the kernel also accepts [Y.T; D.T] / [u; u_prev]
 # packed blocks (packed_n_s>0) — same rows, same bytes, fewer DMA
 # streams; per-lane VMEM is unchanged, so auto_tile needs no new
@@ -184,7 +184,12 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
     if packed_io:
         from demethify_tpu.ops.pallas_kernels import u_phase_grams_packed
 
-        ydt = jnp.concatenate([yt, dt], axis=0)       # (2 n_s, npad)
+        # packed_io == "rt" additionally folds the loop-invariant Rt
+        # rows into the block (2 reads + 1 write per grid step)
+        rt_fold = packed_io == "rt"
+        ydt = jnp.concatenate(
+            [yt, dt] + ([rtt] if rt_fold else []), axis=0)
+        rtt_arg = None if rt_fold else rtt
         ustate0 = jnp.concatenate([ut, ut], axis=0)   # (2 n_u, npad)
     else:
         ustate0 = (ut, ut)
@@ -199,7 +204,7 @@ def partial_ref_solve_fused(u, alpha, y, d, R_trunc, n_u: int,
 
         if packed_io:
             ustate, a1, l_w_prev, gu, b_u, usq = u_phase_grams_packed(
-                ydt, rtt, alpha[:-n_u], alpha[-n_u:], ustate,
+                ydt, rtt_arg, alpha[:-n_u], alpha[-n_u:], ustate,
                 a1, l_w, l_w_prev, n_iter2, tile=tile,
                 bf16_compute=bf16_compute)
         else:

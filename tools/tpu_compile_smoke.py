@@ -52,11 +52,16 @@ y1, d1, Rt1, u01, a01, au1, _ = mk(2)
 check("single partial n_u=2", lambda: fused.partial_ref_solve_fused(
     u01[0], a01[0], y1, d1, Rt1, 2, n_iter1=2, n_iter2=3, tol=0.0))
 # packed IO is the f32 default; smoke the unpacked layout too (bf16
-# storage and the sharded single-member form still use it)
+# storage and the sharded single-member form still use it) and the
+# opt-in rt-fold variant
 check("single partial n_u=2 unpacked",
       lambda: fused.partial_ref_solve_fused(
           u01[0], a01[0], y1, d1, Rt1, 2, n_iter1=2, n_iter2=3,
           tol=0.0, packed_io=False))
+check("single partial n_u=2 rt-fold",
+      lambda: fused.partial_ref_solve_fused(
+          u01[0], a01[0], y1, d1, Rt1, 2, n_iter1=2, n_iter2=3,
+          tol=0.0, packed_io="rt"))
 check("single unsup lagged n_u=2",
       lambda: fused.unsupervised_solve_fused(
           u01[0], au1[0], y1, d1, 2, n_iter1=2, n_iter2=3, tol=0.0))
