@@ -504,12 +504,21 @@ def purity_solve_fused_sharded(u, alpha, y, d, R_trunc, purity, n_u: int,
     return fn(u, alpha, y, d, R_trunc, purity)
 
 
-# Mosaic compiles the n_u == 1 closed-form gram path only when the
-# member axis fills the 8-wide sublane dimension (B < 8 fails to lower
-# on hardware; interpret mode cannot catch it). Batches are padded to
-# MIN_MULTI_MEMBERS by repeating member 0 (identical trajectory, no
-# numerics risk) and the outputs sliced back.
+# Mosaic lowers the multi kernels' member-sliced dataflow only when the
+# member axis is a MULTIPLE of the 8-wide sublane dimension: B < 8
+# fails outright, and any B % 8 != 0 puts the flat-gram row slices at a
+# sublane offset whose concat Mosaic rejects ("result/input offset
+# mismatch on non-concat dimension" — hit in production at B=29 by the
+# genome-scale bootstrap rehearsal, round 5; interpret mode cannot
+# catch it). Batches are padded UP to a multiple of MIN_MULTI_MEMBERS
+# by repeating member 0 (identical trajectory, no numerics risk) and
+# the outputs sliced back.
 MIN_MULTI_MEMBERS = 8
+
+
+def _member_pad(n_b_out: int) -> int:
+    target = -(-n_b_out // MIN_MULTI_MEMBERS) * MIN_MULTI_MEMBERS
+    return target - n_b_out
 
 
 def _pad_members(x_b, n_pad):
@@ -778,7 +787,11 @@ def max_multi_members(n_u: int, n_s: int, n_ct: int = 0,
                       itemsize: int = 4, weighted: bool = False) -> int:
     """Largest member count whose kernel fits the VMEM budget at the
     minimum (1024) lane tile — callers batching replicates/restarts
-    through the multi megakernel chunk to this."""
+    through the multi megakernel chunk to this. Rounded DOWN to a
+    multiple of MIN_MULTI_MEMBERS (above it) so chunks need no member
+    padding (the kernel pads any batch up to a multiple of 8 — see
+    _member_pad — which would otherwise waste up to 7 members' compute
+    per chunk)."""
     limit = _multi_budget(n_u) // 1024
     n_b = 1
     while (n_b < 4096 and _multi_bytes_per_lane(
@@ -787,6 +800,8 @@ def max_multi_members(n_u: int, n_s: int, n_ct: int = 0,
     while _multi_bytes_per_lane(n_b + 1, n_u, n_s, n_ct, itemsize,
                                 weighted) <= limit and n_b < 4096:
         n_b += 1
+    if n_b > MIN_MULTI_MEMBERS:
+        n_b -= n_b % MIN_MULTI_MEMBERS
     return n_b
 
 
@@ -823,8 +838,8 @@ def partial_ref_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, n_u: int,
 
     dtype = accum_dtype(y)
     n_b_out = u_b.shape[0]
-    if n_b_out < MIN_MULTI_MEMBERS:
-        pad = MIN_MULTI_MEMBERS - n_b_out
+    pad = _member_pad(n_b_out)
+    if pad:
         u_b = _pad_members(u_b, pad)
         alpha_b = _pad_members(alpha_b, pad)
         if row_weights_b is not None:
@@ -949,8 +964,8 @@ def unsupervised_solve_fused_multi(u_b, alpha_b, y, d, n_u: int,
 
     dtype = accum_dtype(y)
     n_b_out = u_b.shape[0]
-    if n_b_out < MIN_MULTI_MEMBERS:
-        pad = MIN_MULTI_MEMBERS - n_b_out
+    pad = _member_pad(n_b_out)
+    if pad:
         u_b = _pad_members(u_b, pad)
         alpha_b = _pad_members(alpha_b, pad)
     n_b = u_b.shape[0]
@@ -1054,8 +1069,8 @@ def purity_solve_fused_multi(u_b, alpha_b, y, d, R_trunc, purity,
 
     dtype = accum_dtype(y)
     n_b_out = u_b.shape[0]
-    if n_b_out < MIN_MULTI_MEMBERS:
-        pad = MIN_MULTI_MEMBERS - n_b_out
+    pad = _member_pad(n_b_out)
+    if pad:
         u_b = _pad_members(u_b, pad)
         alpha_b = _pad_members(alpha_b, pad)
         if row_weights_b is not None:

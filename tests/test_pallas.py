@@ -369,6 +369,33 @@ class TestFusedMultiRestart:
         np.testing.assert_allclose(np.asarray(got[2]["cost"]),
                                    np.asarray(want[2]["cost"]), rtol=1e-9)
 
+    def test_odd_member_count_pads_to_sublane_multiple(self,
+                                                       small_problem):
+        """B > 8 and not a multiple of 8 must pad up (Mosaic rejects
+        the flat-gram slices at sublane offsets — production hit at
+        B=29, round 5) and still match the vmapped solver exactly."""
+        from demethify_tpu.solvers.fused import partial_ref_solve_fused_multi
+        p = small_problem
+        y, d, Rt, n_u = (jnp.asarray(p["y"]), jnp.asarray(p["d"]),
+                         jnp.asarray(p["R_trunc"]), p["n_u"])
+        rng = np.random.default_rng(29)
+        n_b = 13
+        u0_b = jnp.asarray(rng.uniform(size=(n_b, y.shape[0], n_u)))
+        a0_b = jnp.asarray(np.stack(
+            [rng.dirichlet(np.ones(Rt.shape[1] + n_u), size=y.shape[1]).T
+             for _ in range(n_b)]))
+        want = jax.vmap(lambda u0, a0: partial_ref_solve(
+            u0, a0, y, d, Rt, n_u, n_iter1=6, n_iter2=4,
+            tol=1e-9))(u0_b, a0_b)
+        got = partial_ref_solve_fused_multi(
+            u0_b, a0_b, y, d, Rt, n_u, n_iter1=6, n_iter2=4, tol=1e-9)
+        assert got[0].shape[0] == n_b
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(want[0]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got[2]["cost"]),
+                                   np.asarray(want[2]["cost"]),
+                                   rtol=1e-9)
+
     def test_per_member_termination(self, small_problem):
         # a loose tolerance makes members converge at different outer
         # iterations; each member's n_iter must equal its standalone run

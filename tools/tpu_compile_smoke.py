@@ -6,7 +6,7 @@ found three kernel paths that had never compiled on hardware (a
 lane-splitting reshape, <8-member batches on the n_u=1 closed form, a
 zero-width concat at n_ct=0). Run this after ANY change to a kernel
 dataflow: `timeout 3000 python tools/tpu_compile_smoke.py`. Expect
-13/13 "OK"; each fresh HLO costs 10-600 s on the remote compiler."""
+17/17 "OK"; each fresh HLO costs 10-600 s on the remote compiler."""
 import sys
 import os as _os
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -89,6 +89,19 @@ for n_u in (1, 2):
           lambda: fused.partial_ref_solve_fused_multi(
               u0, a0, y, d, Rt, n_u, n_iter1=2, n_iter2=3, tol=0.0,
               row_weights_b=w))
+
+# REGRESSION (round 5): a member count > 8 that is NOT a multiple of 8
+# (the genome-scale bootstrap auto-sized B=29 and Mosaic rejected the
+# flat-gram concat at sublane offset 5; batches now pad up to a
+# multiple of 8). B=13 pads to 16 — must lower and run.
+y, d, Rt, u0, a0, au, w = mk(1)
+u13 = jnp.concatenate([u0] * 5, axis=0)[:13]
+a13 = jnp.concatenate([a0] * 5, axis=0)[:13]
+w13 = jnp.concatenate([w] * 5, axis=0)[:13]
+check("partial multi weighted B=13 (pad to 16)",
+      lambda: fused.partial_ref_solve_fused_multi(
+          u13, a13, y, d, Rt, 1, n_iter1=2, n_iter2=3, tol=0.0,
+          row_weights_b=w13))
 
 # sharded wrappers on the 1-device TPU mesh (real kernels inside
 # shard_map, not interpret)
